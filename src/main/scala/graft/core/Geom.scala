@@ -1,0 +1,185 @@
+package graft.core
+
+/** Minimal GeoJSON geometry model used throughout the engine.
+  *
+  * Coordinates are (lon, lat) pairs. Matches the geometry types the
+  * reference accepts (reference docs/data-sources.md:54-168).
+  */
+sealed trait Geom {
+  def typeName: String
+}
+
+object Geom {
+  type Pt = (Double, Double)
+
+  final case class Point(pt: Pt) extends Geom { def typeName = "Point" }
+  final case class MultiPoint(pts: Vector[Pt]) extends Geom { def typeName = "MultiPoint" }
+  final case class LineString(pts: Vector[Pt]) extends Geom { def typeName = "LineString" }
+  final case class MultiLineString(lines: Vector[Vector[Pt]]) extends Geom { def typeName = "MultiLineString" }
+  final case class Polygon(rings: Vector[Vector[Pt]]) extends Geom { def typeName = "Polygon" }
+  final case class MultiPolygon(polys: Vector[Vector[Vector[Pt]]]) extends Geom { def typeName = "MultiPolygon" }
+  final case class Collection(geoms: Vector[Geom]) extends Geom { def typeName = "GeometryCollection" }
+
+  // --- GeoJSON (de)serialization via Jackson (ships with Spark) ---
+  import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+  import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+  import scala.jdk.CollectionConverters._
+
+  private val mapper = new ObjectMapper()
+
+  private def parsePt(n: JsonNode): Pt = (n.get(0).asDouble(), n.get(1).asDouble())
+  private def parsePts(n: JsonNode): Vector[Pt] = n.elements().asScala.map(parsePt).toVector
+  private def parseLines(n: JsonNode): Vector[Vector[Pt]] =
+    n.elements().asScala.map(parsePts).toVector
+
+  def fromJsonNode(node: JsonNode): Geom = node.get("type").asText() match {
+    case "Point"           => Point(parsePt(node.get("coordinates")))
+    case "MultiPoint"      => MultiPoint(parsePts(node.get("coordinates")))
+    case "LineString"      => LineString(parsePts(node.get("coordinates")))
+    case "MultiLineString" => MultiLineString(parseLines(node.get("coordinates")))
+    case "Polygon"         => Polygon(parseLines(node.get("coordinates")))
+    case "MultiPolygon" =>
+      MultiPolygon(node.get("coordinates").elements().asScala.map(parseLines).toVector)
+    case "GeometryCollection" =>
+      Collection(node.get("geometries").elements().asScala.map(fromJsonNode).toVector)
+    case t => throw new IllegalArgumentException(s"Geometry type not implemented: $t")
+  }
+
+  def fromJson(json: String): Geom = fromJsonNode(mapper.readTree(json))
+
+  private def ptNode(p: Pt): ArrayNode = {
+    val a = mapper.createArrayNode(); a.add(p._1); a.add(p._2); a
+  }
+  private def ptsNode(ps: Vector[Pt]): ArrayNode = {
+    val a = mapper.createArrayNode(); ps.foreach(p => a.add(ptNode(p))); a
+  }
+  private def linesNode(ls: Vector[Vector[Pt]]): ArrayNode = {
+    val a = mapper.createArrayNode(); ls.foreach(l => a.add(ptsNode(l))); a
+  }
+
+  def toJsonNode(g: Geom): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("type", g.typeName)
+    g match {
+      case Point(p)            => o.set[ObjectNode]("coordinates", ptNode(p))
+      case MultiPoint(ps)      => o.set[ObjectNode]("coordinates", ptsNode(ps))
+      case LineString(ps)      => o.set[ObjectNode]("coordinates", ptsNode(ps))
+      case MultiLineString(ls) => o.set[ObjectNode]("coordinates", linesNode(ls))
+      case Polygon(rs)         => o.set[ObjectNode]("coordinates", linesNode(rs))
+      case MultiPolygon(ps) =>
+        val a = mapper.createArrayNode(); ps.foreach(p => a.add(linesNode(p)))
+        o.set[ObjectNode]("coordinates", a)
+      case Collection(gs) =>
+        val a = mapper.createArrayNode(); gs.foreach(g2 => a.add(toJsonNode(g2)))
+        o.set[ObjectNode]("geometries", a)
+    }
+    o
+  }
+
+  def toJson(g: Geom): String = mapper.writeValueAsString(toJsonNode(g))
+
+  /** All positions of a geometry, flattened. */
+  def allPoints(g: Geom): Vector[Pt] = g match {
+    case Point(p)            => Vector(p)
+    case MultiPoint(ps)      => ps
+    case LineString(ps)      => ps
+    case MultiLineString(ls) => ls.flatten
+    case Polygon(rs)         => rs.flatten
+    case MultiPolygon(ps)    => ps.flatten.flatten
+    case Collection(gs)      => gs.flatMap(allPoints)
+  }
+
+  /** Ray-casting point-in-polygon over a single polygon's rings
+    * (even-odd rule; on-edge behavior matches the classic algorithm).
+    */
+  def pipRaycast(rings: Vector[Vector[Pt]], lon: Double, lat: Double): Boolean = {
+    var inside = false
+    var r = 0
+    while (r < rings.length) {
+      val ring = rings(r)
+      var i = 0
+      var j = ring.length - 1
+      var ringInside = false
+      while (i < ring.length) {
+        val (xi, yi) = ring(i)
+        val (xj, yj) = ring(j)
+        if (((yi > lat) != (yj > lat)) &&
+          (lon < (xj - xi) * (lat - yi) / (yj - yi) + xi)) ringInside = !ringInside
+        j = i
+        i += 1
+      }
+      if (r == 0) inside = ringInside               // outer ring
+      else if (ringInside) inside = !inside         // holes toggle
+      r += 1
+    }
+    inside
+  }
+
+  def contains(g: Geom, lon: Double, lat: Double): Boolean = g match {
+    case Polygon(rs)      => pipRaycast(rs, lon, lat)
+    case MultiPolygon(ps) => ps.exists(pipRaycast(_, lon, lat))
+    case Collection(gs)   => gs.exists(contains(_, lon, lat))
+    case _                => false
+  }
+
+  /** Squared planar distance from a point to a segment, plus nearest point —
+    * used by nearest-point-on-line (reference lib/geocoder/routablepoint.js).
+    */
+  def nearestOnSegment(px: Double, py: Double, ax: Double, ay: Double,
+                       bx: Double, by: Double): (Double, Double, Double) = {
+    val dx = bx - ax
+    val dy = by - ay
+    val len2 = dx * dx + dy * dy
+    val t =
+      if (len2 == 0) 0.0
+      else math.max(0.0, math.min(1.0, ((px - ax) * dx + (py - ay) * dy) / len2))
+    val nx = ax + t * dx
+    val ny = ay + t * dy
+    val ddx = px - nx
+    val ddy = py - ny
+    (nx, ny, ddx * ddx + ddy * ddy)
+  }
+
+  /** Nearest point on a (Multi)LineString to the given point (planar lon/lat
+    * space, matching the reference's use of turf point-on-line semantics for
+    * routable points at small scales).
+    */
+  def nearestPointOnLine(g: Geom, lon: Double, lat: Double): Option[Pt] = {
+    val lines: Vector[Vector[Pt]] = g match {
+      case LineString(ps)      => Vector(ps)
+      case MultiLineString(ls) => ls
+      case Collection(gs)      => gs.flatMap(nearestLines)
+      case _                   => Vector.empty
+    }
+    var best: Option[(Double, Pt)] = None
+    lines.foreach { line =>
+      var i = 0
+      while (i < line.length - 1) {
+        val (ax, ay) = line(i)
+        val (bx, by) = line(i + 1)
+        val (nx, ny, d2) = nearestOnSegment(lon, lat, ax, ay, bx, by)
+        if (best.isEmpty || d2 < best.get._1) best = Some((d2, (nx, ny)))
+        i += 1
+      }
+    }
+    best.map(_._2)
+  }
+
+  private def nearestLines(g: Geom): Vector[Vector[Pt]] = g match {
+    case LineString(ps)      => Vector(ps)
+    case MultiLineString(ls) => ls
+    case _                   => Vector.empty
+  }
+
+  /** Bounding box [w, s, e, n]. */
+  def bbox(g: Geom): (Double, Double, Double, Double) = {
+    val pts = allPoints(g)
+    var w = Double.MaxValue; var s = Double.MaxValue
+    var e = -Double.MaxValue; var n = -Double.MaxValue
+    pts.foreach { case (x, y) =>
+      if (x < w) w = x; if (x > e) e = x
+      if (y < s) s = y; if (y > n) n = y
+    }
+    (w, s, e, n)
+  }
+}

@@ -1,0 +1,37 @@
+package graft.core
+
+/** JavaScript-compatible numeric helpers.
+  *
+  * The reference engine (mapbox/carmen) computes scores/relevances with JS
+  * `Number` semantics (IEEE-754 double) plus a couple of quirks we must
+  * reproduce exactly for golden parity:
+  * `Math.fround` (float32 round-trip, used by the 3-bit log-scale score codec,
+  * reference lib/text-processing/termops.js:966-974) and `Math.round`
+  * (round-half-toward-+Inf, used by mercator pixel math,
+  * reference lib/util/proximity.js:74-82 via @mapbox/sphericalmercator).
+  */
+object JsNum {
+  /** Math.fround: nearest float32, returned as double. */
+  @inline def fround(d: Double): Double = d.toFloat.toDouble
+
+  /** JS Math.round: floor(x + 0.5), i.e. half-up toward +Infinity. */
+  @inline def jsRound(d: Double): Double = math.floor(d + 0.5)
+
+  /** carmen's round-to helper (lib/util/round-to.js:10-13):
+    * `Math.round(value * 10^digits) / 10^digits` with JS Math.round.
+    */
+  def roundTo(value: Double, digits: Int): Double = {
+    val p = math.pow(10, digits)
+    jsRound(value * p) / p
+  }
+
+  /** `parseFloat(x.toFixed(1))` as used by grid decode
+    * (reference lib/util/grid.js:35). Inputs are small non-negative values
+    * (0.4/0.6/0.8/1.0) so simple half-even at 1 decimal is exact; we use the
+    * same digit-string route as JS toFixed for safety.
+    */
+  def toFixed1(d: Double): Double =
+    new java.math.BigDecimal(d)
+      .setScale(1, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+}
