@@ -15,9 +15,36 @@ import graft.ops._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing")(spark, "/root/testdata/sf0.001")
+  /** Flagship: batch forward geocode over the synthetic page-derived index
+    * (the worked example of reference docs/how-carmen-works.md:92-199).
+    * Driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val index = GeoIndexCache.get(spark)
+    val queries = Seq(
+      (1L, "West Lake View Rd Englewood"),
+      (2L, "Chester New Jersey"),
+      (3L, "Springfield Pennsylvania"),
+      (4L, "Fulton St Lakewood Texas"),
+      (5L, "Englewood")
+    ).toDF("query_id", "query")
+    graft.query.Forward.forward(spark, index, queries)
+  }
+
+  /** One shared per-session geocode index build (a few seconds). */
+  private object GeoIndexCache {
+    @volatile private var cached: Option[(SparkSession, graft.index.IndexBuilder.CarmenIndex)] = None
+    def get(spark: SparkSession): graft.index.IndexBuilder.CarmenIndex = synchronized {
+      cached match {
+        case Some((s, idx)) if s eq spark => idx
+        case _ =>
+          val idx = graft.index.PageSynth.buildIndex(spark, 300)
+          cached = Some((spark, idx))
+          idx
+      }
+    }
+  }
 
   private def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(c * 100).cast("long")
@@ -189,6 +216,40 @@ object SparkEntry {
           GeoOps.tileY(col("lat"), 4).as("ty"))
         .groupBy(col("tx"), col("ty"))
         .agg(count(lit(1)).as("n"))
+    }),
+
+    // --- carmen-semantic geocode engine (rows-only checks: the DuckDB
+    // oracle cannot express the geocode pipeline; correctness is covered by
+    // the reference-golden ScalaTest suite) ------------------------------
+    "geocode_forward" -> ((s, _) => {
+      import s.implicits._
+      val index = GeoIndexCache.get(s)
+      val qs = Seq((1L, "West Lake View Rd Englewood"), (2L, "Chester New Jersey"),
+        (3L, "Englewood"), (4L, "Main St Chester"), (5L, "Springfield Pennsylvania"),
+        (6L, "Fulton St Lakewood Texas"), (7L, "Lake View Terrace West Town"))
+        .toDF("query_id", "query")
+      graft.query.Forward.forward(s, index, qs)
+        .select(col("query_id"), col("rank"), col("relev"), col("place_name"))
+    }),
+
+    "geocode_reverse" -> ((s, _) => {
+      import s.implicits._
+      val index = GeoIndexCache.get(s)
+      val pts = Seq((1L, -74.0, 40.9), (2L, -98.55, 29.95), (3L, -74.7, 40.785),
+        (4L, -75.3, 39.935)).toDF("query_id", "lon", "lat")
+      graft.query.Reverse.reverse(s, index, pts)
+    }),
+
+    "geocode_tile_index" -> ((s, _) => {
+      val index = GeoIndexCache.get(s)
+      index.layers.map(_.tileFeatures.select(col("z"), col("x"), col("y"),
+        col("id"))).reduce(_ unionByName _)
+    }),
+
+    "geocode_postings" -> ((s, _) => {
+      val index = GeoIndexCache.get(s)
+      index.allPostings.select(col("layer"), col("phrase"), col("phrase_id"),
+        col("relev"), col("score3"), col("id24"), col("x"), col("y"))
     })
   )
 

@@ -1,0 +1,218 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Index-side phrase enumeration — ports of the reference's
+  * getMinimalIndexableText / getWeights / permutations / getIndexablePhrases
+  * (reference lib/text-processing/termops.js:388-780). Token-replacer and
+  * intersection/housenumber expansion hooks are carried as parameters so the
+  * v1 no-replacer path stays byte-faithful.
+  */
+object Phrases {
+
+  /** One indexable text variant: tokens + languages + source-phrase hash. */
+  final case class IndexableText(
+      tokens: Vector[String],
+      languages: Vector[String],
+      hash: Int,
+      reduceRelevance: Boolean
+  )
+
+  final case class IndexablePhrase(relev: Double, phrase: String, hash: Int)
+
+  /** Term frequency table: term -> count, plus __COUNT__ and __MAX__. */
+  final case class Freq(counts: Map[String, Long], total: Long, maxScore: Double)
+
+  /** getMinimalIndexableText (reference termops.js:555-604), no-replacer path:
+    * tokenized synonym texts used for corpus frequency counting.
+    */
+  def minimalIndexableText(text: String): Vector[Vector[String]] = {
+    val uniq = mutable.LinkedHashSet.empty[String]
+    val out = mutable.ArrayBuffer.empty[Vector[String]]
+    text.split(",", -1).foreach { syn =>
+      val tokens = TextNormalize.tokenize(syn).tokens.filter(_.nonEmpty)
+      if (tokens.nonEmpty) {
+        val key = tokens.mkString(" ")
+        if (!uniq.contains(key)) {
+          uniq += key
+          out += tokens
+        }
+      }
+    }
+    out.toVector
+  }
+
+  /** getWeights (reference termops.js:798-837): IDF-ish weights normalized
+    * to sum 1; '#'-masked number tokens pinned at 0.2 with the rest scaled
+    * into 0.8.
+    */
+  def getWeights(tokens: Vector[String], freq: Freq): Vector[Double] = {
+    val weights = new Array[Double](tokens.length)
+    var weightsum = 0.0
+    var numTokens = false
+    var i = tokens.length - 1
+    while (i >= 0) {
+      if (tokens(i).contains('#')) {
+        numTokens = true
+        weights(i) = -1
+      } else {
+        val termfreq = freq.counts.getOrElse(tokens(i), 1L).toDouble
+        val total = if (freq.total == 0) 1.0 else freq.total.toDouble
+        weights(i) = StrictMath.log(1 + total / termfreq)
+        weightsum += weights(i)
+      }
+      i -= 1
+    }
+    i = weights.length - 1
+    if (numTokens) {
+      while (i >= 0) {
+        if (weights(i) == -1) weights(i) = 0.2
+        else weights(i) = weights(i) / weightsum * 0.8
+        i -= 1
+      }
+    } else {
+      while (i >= 0) { weights(i) = weights(i) / weightsum; i -= 1 }
+    }
+    weights.toVector
+  }
+
+  /** A permutation of terms (reference termops.js:639-704). */
+  final case class Perm(
+      terms: Vector[String],
+      mask: Int,
+      ender: Boolean,
+      relev: Double,
+      addressPos: Option[Int] = None,
+      numberOrder: Option[String] = None
+  )
+
+  /** permutations(terms, weights, all, frequentWords). */
+  def permutations(terms: Vector[String], weights: Option[Vector[Double]],
+                   all: Boolean, reduceRelevance: Boolean = false,
+                   frequentWords: Set[String] = Set.empty,
+                   addressPosition: Option[Int] = None): Vector[Perm] = {
+    val length = terms.length
+    val minRelevance = 0.8
+    val masks =
+      if (all && length <= 8) Permute.all(length) else Permute.continuous(length)
+    masks.map { mask =>
+      var wordDropped = false
+      val kept = Vector.newBuilder[String]
+      var keptLen = 0
+      var relev = 0.0
+      var addr: Option[Int] = None
+      var j = 0
+      while (j < length) {
+        if ((mask & (1 << j)) == 0) {
+          if (frequentWords.contains(terms(j))) wordDropped = true
+        } else {
+          kept += terms(j)
+          keptLen += 1
+          if (addressPosition.contains(j)) addr = Some(j)
+          weights.foreach(w => relev += w(j))
+        }
+        j += 1
+      }
+      var permTerms = kept.result()
+      var ender = (mask & (1 << (length - 1))) != 0
+      var numberOrder: Option[String] = if (addr.isDefined) Some("first") else None
+      val permRelev = weights match {
+        case Some(_) =>
+          if (reduceRelevance && keptLen == length) minRelevance
+          else if (wordDropped && keptLen == length - 1)
+            math.max(minRelevance, JsNum.jsRound(relev * 5) / 5)
+          else JsNum.jsRound(relev * 5) / 5
+        case None => 0.0
+      }
+      // trailing numToken swap-to-front (index optimization)
+      if (addr.isDefined) {
+        if (permTerms.length > 1) {
+          if (permTerms.last.contains('#')) {
+            permTerms = permTerms.last +: permTerms.init
+            ender = false
+            numberOrder = Some("last")
+          }
+        } else numberOrder = None
+      }
+      Perm(permTerms, mask, ender, permRelev, addr, numberOrder)
+    }
+  }
+
+  /** getIndexablePhrases (reference termops.js:712-780): all-subset perms of
+    * a text variant, keep relev >= 0.8, dedupe keeping the highest relev.
+    */
+  def getIndexablePhrases(text: IndexableText, freq: Freq,
+                          frequentWords: Set[String] = Set.empty): Vector[IndexablePhrase] = {
+    if (text.tokens.headOption.contains("+intersection")) {
+      return Vector(IndexablePhrase(1.0,
+        TextNormalize.normalizeText(text.tokens.mkString(" ")), text.hash))
+    }
+    val perms = permutations(text.tokens, Some(getWeights(text.tokens, freq)),
+      all = true, reduceRelevance = text.reduceRelevance, frequentWords = frequentWords)
+      .sortBy(-_.relev)
+    val uniq = mutable.HashSet.empty[String]
+    val out = Vector.newBuilder[IndexablePhrase]
+    var break = false
+    for (p <- perms if !break) {
+      if (p.relev < 0.8) break = true
+      else {
+        val etext = TextNormalize.normalizeText(p.terms.mkString(" "))
+        if (!uniq.contains(etext)) {
+          uniq += etext
+          out += IndexablePhrase(p.relev, etext, text.hash)
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** getIndexableText (reference termops.js:388-540), v1 path: synonyms of
+    * carmen:text (+ per-language texts), no replacers/intersections. Each
+    * synonym yields one variant; languages accumulate per distinct text.
+    */
+  def getIndexableText(defaultText: String,
+                       langTexts: Map[String, String] = Map.empty,
+                       autoPopulate: Vector[String] = Vector.empty): Vector[IndexableText] = {
+    // text -> languages (insertion-ordered)
+    val texts = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[String]]
+    val hashes = mutable.HashMap.empty[String, Int]
+    val allLang = ("default" -> defaultText) +: langTexts.toVector.sortBy(_._1)
+    for ((lang, prop) <- allLang; text <- prop.split(",", -1)) {
+      hashes(text) = Murmur3.phraseHash(text)
+      val langs = texts.getOrElseUpdate(text, mutable.ArrayBuffer.empty)
+      langs += lang
+      if (lang == "default") autoPopulate.foreach(langs += _)
+    }
+    val out = Vector.newBuilder[IndexableText]
+    val seenKeys = mutable.LinkedHashMap.empty[String, (mutable.LinkedHashSet[String], Int)]
+    for ((rawText, langs) <- texts) {
+      val text = rawText.trim
+      val tokens = TextNormalize.normalizeQuery(TextNormalize.tokenize(text)).tokens
+      if (tokens.nonEmpty) {
+        val key = tokens.mkString(" ")
+        val (set, _) = seenKeys.getOrElseUpdate(key,
+          (mutable.LinkedHashSet.empty[String], hashes(rawText)))
+        langs.foreach(set += _)
+      }
+    }
+    for ((key, (langSet, hash)) <- seenKeys)
+      out += IndexableText(key.split(" ", -1).toVector, langSet.toVector, hash,
+        reduceRelevance = false)
+    out.result()
+  }
+
+  /** generateFrequency (reference lib/indexer/indexdocs.js:508-540). */
+  def generateFrequency(docs: Iterable[(String, Double)]): Freq = {
+    val counts = mutable.HashMap.empty[String, Long]
+    var total = 0L
+    var maxScore = 0.0
+    for ((text, score) <- docs) {
+      if (score > maxScore) maxScore = score
+      for (terms <- minimalIndexableText(text); term <- terms) {
+        counts(term) = counts.getOrElse(term, 0L) + 1
+        total += 1
+      }
+    }
+    Freq(counts.toMap, total, maxScore)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core._
+import graft.model._
+
+/** Batch index build: geo docs -> (features, postings, tile_features) per
+  * layer — the Spark dataflow equivalent of the reference indexer
+  * (reference lib/indexer/index.js, lib/indexer/indexdocs.js).
+  *
+  * Scale notes (100 TB design point):
+  *  - term frequency (I8) is a hash aggregate with map-side combine; the
+  *    resulting term->count map is broadcast (vocabulary-bounded, like the
+  *    reference's freq object);
+  *  - phrase enumeration (I10/I11) is a flatMap — embarrassingly parallel;
+  *  - phrase_id assignment (S7) is a dense rank over the sorted distinct
+  *    phrase set, the Spark analog of the FST finalize renumbering; at full
+  *    scale this becomes rangepartition + per-partition offsets;
+  *  - postings are written partitioned by layer and bucketable by
+  *    (cell prefix, phrase hash) — the explicit range+hash scheme;
+  *  - tile_features is the exploded (z, x, y) cover table, partition-pruned
+  *    by reverse lookups.
+  */
+object IndexBuilder {
+
+  /** All built tables for one layer. */
+  final case class LayerIndex(
+      config: LayerConfig,
+      features: DataFrame,     // id, id24, text, score, geometry, center_lon/lat, zxy
+      postings: DataFrame,     // phrase, phrase_id, lang_set, relev, score3, id24, x, y, phrase_hash
+      tileFeatures: DataFrame, // z, x, y, id, id24, text, score, center_lon/lat, geometry
+      scorefactor: Double      // max score of the layer (3-bit decode factor)
+  )
+
+  final case class CarmenIndex(layers: Vector[LayerIndex]) {
+    def layer(name: String): LayerIndex = layers.find(_.config.name == name).get
+    def maxZoom: Int = layers.map(_.config.zoom).max
+    /** Union of all layers' postings with a `layer` column (already there). */
+    lazy val allPostings: DataFrame =
+      layers.map(_.postings).reduce(_ unionByName _)
+  }
+
+  private val coverUdf = udf((geojson: String, zoom: Int) => {
+    TileCover.zxy(Geom.fromJson(geojson), zoom)
+  })
+
+  def build(spark: SparkSession, layers: Seq[(LayerConfig, Dataset[GeoDoc])]): CarmenIndex = {
+    import spark.implicits._
+    val built = layers.map { case (cfg, docs) =>
+      // 1. standardize: tile covers at the layer zoom (I3)
+      val withCovers = docs.toDF()
+        .withColumn("zxy", coverUdf(col("geometry"), lit(cfg.zoom)))
+        .withColumn("id24", pmod(abs(col("id")), lit(1L << 24)))
+        .cache()
+
+      // 2. corpus frequency (I8): distributed hash agg, broadcast result
+      val freqRows = withCovers.select(col("text"), col("score")).as[(String, Double)]
+        .flatMap { case (text, _) => Phrases.minimalIndexableText(text).flatten }
+        .groupByKey(identity).count().collect()
+      val maxScore = withCovers.agg(max(col("score"))).as[Double].head()
+      val freq = Phrases.Freq(freqRows.map { case (t, c) => (t, c) }.toMap,
+        freqRows.map(_._2).sum, maxScore)
+      val freqBc = spark.sparkContext.broadcast(freq)
+
+      // 3. phrase enumeration + grid assembly (I10/I11/I14), one flatMap
+      val layerName = cfg.name
+      val postingsDs = withCovers
+        .select(col("id"), col("id24"), col("text"), col("score"),
+          col("zxy").cast("array<string>"))
+        .as[(Long, Long, String, Double, Seq[String])]
+        .flatMap { case (id, id24, text, score, zxy) =>
+          val f = freqBc.value
+          val score3 = GridCodec.encode3BitLogScale(score, f.maxScore)
+          val xy = zxy.flatMap { s =>
+            val parts = s.split("/")
+            val x = parts(1).toInt
+            val y = parts(2).toInt
+            if (x < 0 || y < 0) None else Some((x, y))
+          }
+          // per-phrase best relev across text variants (loadDoc semantics)
+          val byPhrase = scala.collection.mutable.LinkedHashMap
+            .empty[String, (Double, Int, scala.collection.mutable.LinkedHashSet[String])]
+          for (t <- Phrases.getIndexableText(text);
+               p <- Phrases.getIndexablePhrases(t, f)) {
+            val cur = byPhrase.get(p.phrase)
+            val entry = cur.getOrElse((p.relev, p.hash,
+              scala.collection.mutable.LinkedHashSet.empty[String]))
+            val relev = math.max(entry._1, p.relev)
+            t.languages.foreach(entry._3 += _)
+            byPhrase(p.phrase) = (relev, entry._2, entry._3)
+          }
+          for {
+            (phrase, (relev, hash, langs)) <- byPhrase.iterator
+            (x, y) <- xy
+          } yield (layerName, phrase, langs.toVector.sorted.mkString(","),
+            relev, score3, id24, x, y, hash)
+        }
+        .toDF("layer", "phrase", "lang_set", "relev", "score3", "id24", "x", "y",
+          "phrase_hash")
+
+      // 4. phrase ids: dense rank over lexicographic phrase order (S7 analog)
+      val postings = postingsDs
+        .withColumn("phrase_id",
+          dense_rank().over(Window.orderBy(col("phrase"))).cast("long"))
+        .cache()
+
+      // 5. tile_features: explode covers (S8)
+      val tileFeatures = withCovers
+        .select(col("id"), col("id24"), col("text"), col("score"),
+          col("centerLon").as("center_lon"), col("centerLat").as("center_lat"),
+          col("geometry"), explode(col("zxy")).as("zxy_str"))
+        .withColumn("z", split(col("zxy_str"), "/").getItem(0).cast("int"))
+        .withColumn("x", split(col("zxy_str"), "/").getItem(1).cast("int"))
+        .withColumn("y", split(col("zxy_str"), "/").getItem(2).cast("int"))
+        .drop("zxy_str")
+        .cache()
+
+      val features = withCovers
+        .withColumnRenamed("centerLon", "center_lon")
+        .withColumnRenamed("centerLat", "center_lat")
+
+      LayerIndex(cfg, features, postings, tileFeatures, math.max(maxScore, 0.0))
+    }
+    CarmenIndex(built.toVector)
+  }
+}

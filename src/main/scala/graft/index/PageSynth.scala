@@ -1,0 +1,136 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Geom
+import graft.model.{GeoDoc, LayerConfig}
+
+/** Deterministic synthetic web-page corpus + geo-entity extraction — the
+  * graft input surface (BASELINE.json input_hint): an Iceberg-style table
+  * (url, warc_ts, html, text, lang) whose pages embed geo entities; the
+  * entities play the role of carmen's GeoJSON docs.
+  *
+  * The per-url invariant: `text` is carried through extraction byte-
+  * identically (tested); carmen-style normalization applies only to the
+  * derived index phrases.
+  */
+object PageSynth {
+
+  /** The deterministic gazetteer: a 4-layer world (country/region/place/
+    * street) with nested geometries. Pure data, fixed seed — no external
+    * inputs.
+    */
+  final case class Entity(layer: String, id: Long, name: String, score: Double,
+                          geomJson: String, lon: Double, lat: Double)
+
+  private def box(w: Double, s: Double, e: Double, n: Double): String =
+    s"""{"type":"Polygon","coordinates":[[[$w,$s],[$e,$s],[$e,$n],[$w,$n],[$w,$s]]]}"""
+  private def line(pts: (Double, Double)*): String =
+    s"""{"type":"LineString","coordinates":[${pts.map(p => s"[${p._1},${p._2}]").mkString(",")}]}"""
+  private def point(lon: Double, lat: Double): String =
+    s"""{"type":"Point","coordinates":[$lon,$lat]}"""
+
+  val gazetteer: Vector[Entity] = Vector(
+    Entity("country", 1, "United States,US,USA", 1000,
+      box(-125, 24, -66, 49), -98, 39),
+    Entity("country", 2, "Canada", 800, box(-139, 49, -53, 62), -106, 56),
+    Entity("region", 10, "New Jersey,NJ", 400, box(-75.6, 38.9, -73.9, 41.4), -74.5, 40.1),
+    Entity("region", 11, "Pennsylvania,PA", 420, box(-80.5, 39.7, -74.7, 42.3), -77.6, 41.0),
+    Entity("region", 12, "Texas,TX", 450, box(-106.6, 25.8, -93.5, 36.5), -99.0, 31.2),
+    Entity("place", 100, "Englewood", 200, box(-74.05, 40.85, -73.95, 40.95), -74.0, 40.9),
+    Entity("place", 101, "Chester", 120, box(-74.75, 40.75, -74.65, 40.85), -74.7, 40.8),
+    Entity("place", 102, "Springfield", 150, box(-75.35, 39.9, -75.25, 40.0), -75.3, 39.95),
+    Entity("place", 103, "West Town", 90, box(-75.0, 40.0, -74.9, 40.1), -74.95, 40.05),
+    Entity("place", 104, "Lakewood", 110, box(-98.6, 29.9, -98.5, 30.0), -98.55, 29.95),
+    Entity("street", 1001, "West Lake View Rd", 10,
+      line((-74.02, 40.90), (-73.98, 40.91)), -74.0, 40.905),
+    Entity("street", 1002, "Main St", 8,
+      line((-74.72, 40.78), (-74.68, 40.79)), -74.7, 40.785),
+    Entity("street", 1003, "Englewood St", 5,
+      line((-75.32, 39.93), (-75.28, 39.94)), -75.3, 39.935),
+    Entity("street", 1004, "Fulton St", 6,
+      line((-98.58, 29.93), (-98.52, 29.94)), -98.55, 29.935),
+    Entity("street", 1005, "Lake View Terrace", 4,
+      line((-74.96, 40.03), (-74.92, 40.05)), -74.94, 40.04)
+  )
+
+  val layerConfigs: Vector[LayerConfig] = Vector(
+    LayerConfig("country", idx = 0, zoom = 6, typ = "country"),
+    LayerConfig("region", idx = 1, zoom = 6, typ = "region"),
+    LayerConfig("place", idx = 2, zoom = 12, typ = "place"),
+    LayerConfig("street", idx = 3, zoom = 14, typ = "street")
+  )
+
+  /** Deterministic pages table: page i mentions entity (i % |gazetteer|),
+    * with the entity's GeoJSON embedded in a script tag.
+    */
+  def pages(spark: SparkSession, nPages: Int): DataFrame = {
+    import spark.implicits._
+    val gaz = gazetteer
+    spark.range(nPages).as[Long].map { i =>
+      val e = gaz((i % gaz.length).toInt)
+      val display = e.name.split(",")(0)
+      val url = s"https://example.org/${e.layer}/${e.id}/page-$i"
+      // deterministic pseudo-timestamp: seconds offset from a fixed epoch
+      val ts = new java.sql.Timestamp(1577836800000L + i * 60000L)
+      val geo = s"""{"layer":"${e.layer}","id":${e.id},"name":"${e.name}","score":${e.score},"lon":${e.lon},"lat":${e.lat},"geometry":${e.geomJson}}"""
+      val html =
+        s"""<html><head><title>$display</title></head><body>
+           |<h1>$display</h1><p>Page $i about $display.</p>
+           |<script type="application/geo+json">$geo</script>
+           |</body></html>""".stripMargin
+      val text = s"Page $i about $display. Located at ${e.lon},${e.lat}."
+      (url, ts, html.getBytes("UTF-8"), text, "en")
+    }.toDF("url", "warc_ts", "html", "text", "lang")
+  }
+
+  private val geoScript =
+    java.util.regex.Pattern.compile(
+      """<script type="application/geo\+json">(.*?)</script>""",
+      java.util.regex.Pattern.DOTALL)
+
+  /** Extraction job: pages -> (layer, GeoDoc) rows + pass-through text.
+    * Deterministic, one pass, no shuffle; dedup by (layer, id) happens in a
+    * single aggregate.
+    */
+  def extract(spark: SparkSession, pages: DataFrame): DataFrame = {
+    import spark.implicits._
+    val parsed = pages.select(col("url"), col("html"), col("text")).as[(String, Array[Byte], String)]
+      .flatMap { case (url, html, text) =>
+        val s = new String(html, "UTF-8")
+        val m = geoScript.matcher(s)
+        if (m.find()) {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(m.group(1))
+          Some((url, text,
+            node.get("layer").asText(), node.get("id").asLong(),
+            node.get("name").asText(), node.get("score").asDouble(),
+            node.get("geometry").toString,
+            node.get("lon").asDouble(), node.get("lat").asDouble()))
+        } else None
+      }
+      .toDF("url", "text", "layer", "id", "name", "score", "geometry", "lon", "lat")
+    parsed
+  }
+
+  /** Distinct geo docs per layer from the extraction output. */
+  def docsByLayer(spark: SparkSession, extracted: DataFrame): Map[String, org.apache.spark.sql.Dataset[GeoDoc]] = {
+    import spark.implicits._
+    layerConfigs.map { cfg =>
+      cfg.name -> extracted.where(col("layer") === cfg.name)
+        .groupBy(col("id"))
+        .agg(first(col("name")).as("text"), first(col("score")).as("score"),
+          first(col("geometry")).as("geometry"),
+          first(col("lon")).as("centerLon"), first(col("lat")).as("centerLat"))
+        .select(col("id"), col("text"), col("score"), col("geometry"),
+          col("centerLon"), col("centerLat"))
+        .as[GeoDoc]
+    }.toMap
+  }
+
+  /** Convenience: build the full index from n synthetic pages. */
+  def buildIndex(spark: SparkSession, nPages: Int): IndexBuilder.CarmenIndex = {
+    val p = pages(spark, nPages)
+    val docs = docsByLayer(spark, extract(spark, p))
+    IndexBuilder.build(spark, layerConfigs.map(c => (c, docs(c.name))))
+  }
+}

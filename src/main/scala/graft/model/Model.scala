@@ -1,0 +1,90 @@
+package graft.model
+
+/** Layer (index) configuration — the subset of carmen source metadata the
+  * engine consumes (reference docs/data-sources.md:19-52, resolved in
+  * index.js:115-322).
+  *
+  * @param name geocoder_name — layers sharing a name form one `ndx` group
+  *             and never stack together (reference index.js:286-322)
+  * @param idx  position in the layer ordering (coarse -> fine)
+  * @param zoom index zoom (<= 14; tile covers computed at this zoom)
+  * @param typ  feature type (country/region/place/street/address/poi)
+  * @param nonOverlapping idxs this layer never stacks with
+  *             (reference index.js:325-342)
+  */
+final case class LayerConfig(
+    name: String,
+    idx: Int,
+    zoom: Int,
+    typ: String,
+    stack: Seq[String] = Nil,
+    nonOverlapping: Set[Int] = Set.empty,
+    geocoderAddress: Boolean = false
+) {
+  def ndxKey: String = name
+}
+
+/** A geo feature document (carmen doc core). Geometry is GeoJSON text. */
+final case class GeoDoc(
+    id: Long,
+    text: String,             // carmen:text (comma-separated synonyms)
+    score: Double,            // carmen:score
+    geometry: String,         // GeoJSON
+    centerLon: Double,        // carmen:center
+    centerLat: Double
+)
+
+/** One phrase posting grid row (flattened gridstore entry). */
+final case class Posting(
+    layer: String,
+    phrase: String,
+    phraseId: Long,
+    langSet: String,          // sorted comma-joined language list
+    relev: Double,            // phrase relevance (0.8 - 1.0 buckets)
+    score3: Int,              // 3-bit log-scaled feature score
+    id24: Long,               // feature id % 2^24
+    x: Int,
+    y: Int,
+    phraseHash: Int
+)
+
+/** Query-side phrasematch (reference lib/geocoder/phrasematch.js:585-621). */
+final case class PhraseMatch(
+    queryId: Long,
+    layer: String,
+    idx: Int,
+    ndx: Int,
+    zoom: Int,
+    subquery: String,
+    mask: Int,
+    weight: Double,
+    prefix: Boolean,
+    scorefactor: Double
+)
+
+/** A coalesce cover entry (reference lib/geocoder/spatialmatch.js:208-226). */
+final case class CoverEntry(
+    x: Int,
+    y: Int,
+    relev: Double,            // grid relev x pm weight
+    score: Double,            // decoded score
+    id24: Long,
+    idx: Int,
+    tmpid: Long,
+    mask: Int,
+    distance: Double,
+    scoredist: Double,
+    matchesLanguage: Boolean,
+    phraseHash: Int,
+    zoom: Int,
+    text: String,
+    prefix: Boolean
+)
+
+/** One stacked spatial-match result for a query. */
+final case class StackResult(
+    queryId: Long,
+    relev: Double,
+    scoredist: Double,
+    covers: Vector[CoverEntry]
+)
