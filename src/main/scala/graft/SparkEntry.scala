@@ -40,6 +40,11 @@ object SparkEntry {
         case Some((s, idx)) if s eq spark => idx
         case _ =>
           val idx = graft.index.PageSynth.buildIndex(spark, 300)
+          // force-materialize the cached tables once so per-query cost
+          // reflects lookups, not index build
+          idx.layers.foreach { l =>
+            l.postings.count(); l.tileFeatures.count(); l.features.count()
+          }
           cached = Some((spark, idx))
           idx
       }

@@ -40,6 +40,20 @@ object IndexBuilder {
     /** Union of all layers' postings with a `layer` column (already there). */
     lazy val allPostings: DataFrame =
       layers.map(_.postings).reduce(_ unionByName _)
+    /** All layers' tile_features unified with idx/layer columns: one join
+      * target for reverse lookups and context fill instead of a per-layer
+      * join fan-out.
+      */
+    lazy val allTileFeatures: DataFrame =
+      layers.map { l =>
+        l.tileFeatures.select(lit(l.config.idx).as("idx"),
+          lit(l.config.name).as("layer"), col("z"), col("x"), col("y"),
+          col("id").as("feature_id"), col("id24"), col("text"), col("score"),
+          col("center_lon").as("f_lon"), col("center_lat").as("f_lat"),
+          col("geometry"))
+      }.reduce(_ unionByName _).cache()
+    /** Distinct layer zooms (for point -> per-zoom tile explosion). */
+    lazy val zooms: Vector[Int] = layers.map(_.config.zoom).distinct.sorted
   }
 
   private val coverUdf = udf((geojson: String, zoom: Int) => {

@@ -46,18 +46,51 @@ object Similarity {
     })
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
-    * vectors. Query side is broadcast; norms precomputed per side.
+    * vectors. The query set is broadcast pre-normalized; each corpus
+    * partition scores its rows against all queries and keeps a local top-k
+    * per query (partition-local heaps), then a global window merges the
+    * partition winners — the classic distributed kNN: one scan, no
+    * corpus shuffle, final shuffle is only (partitions x queries x k) rows.
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      normUdf(col(vecCol)).as("cn"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      normUdf(col(vecCol)).as("qn"))
-    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
-      .withColumn("cos", dotUdf(col("cv"), col("qv")) / (col("cn") * col("qn")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => (id, normalized(v)) }
+    val bc = spark.sparkContext.broadcast(q)
+    val local = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        // per-query bounded top-k buffers
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+            Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))))
+        it.foreach { case (cid, raw) =>
+          val cv = normalized(raw)
+          var i = 0
+          while (i < qs.length) {
+            val (qid, qv) = qs(i)
+            if (qid != cid) {
+              val cos = dotD(qv, cv)
+              val h = heaps(i)
+              if (h.size < k) h.enqueue((cos, cid))
+              else if (cos > h.head._1 ||
+                (cos == h.head._1 && cid < h.head._2)) {
+                h.dequeue(); h.enqueue((cos, cid))
+              }
+            }
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.iterator.map { case (cos, cid) => (qs(i)._1, cid, cos) }
+        }
+      }.toDF("query_id", "corpus_id", "cos")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
+    local.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("rank"))
   }
@@ -164,15 +197,33 @@ object Similarity {
     */
   def annLsh(df: DataFrame, k: Int, bits: Int = 16,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      normUdf(col(vecCol)).as("nrm"),
-      hyperplaneSigUdf(bits)(col(vecCol)).as("bucket"))
-    val a = sig.select(col("bucket"), col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val b = sig.select(col("bucket"), col("id").as("corpus_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val cand = a.join(b, Seq("bucket")).where(col("query_id") =!= col("corpus_id"))
-      .withColumn("cos", dotUdf(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // one shuffle: vectors grouped by signature bucket, then pure-JVM
+    // all-pairs within each bucket (bucket sizes bounded by the bit count;
+    // at scale, hot buckets get salted sub-splits like any skewed key)
+    val sig = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", hyperplaneSigUdf(bits)(col("v")))
+      .as[(Long, Array[Float], Long)]
+    val pairs = sig.groupByKey(_._3).flatMapGroups { (_, it) =>
+      val rows = it.map { case (id, v, _) => (id, normalized(v)) }.toArray
+      rows.iterator.flatMap { case (qid, qv) =>
+        val best = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+          Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2)))
+        rows.foreach { case (cid, cv) =>
+          if (cid != qid) {
+            val cos = dotD(qv, cv)
+            if (best.size < k) best.enqueue((cos, cid))
+            else if (cos > best.head._1 || (cos == best.head._1 && cid < best.head._2)) {
+              best.dequeue(); best.enqueue((cos, cid))
+            }
+          }
+        }
+        best.iterator.map { case (cos, cid) => (qid, cid, cos) }
+      }
+    }.toDF("query_id", "corpus_id", "cos")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
-    cand.withColumn("rank", row_number().over(w))
+    pairs.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("rank"))
   }

@@ -132,7 +132,6 @@ object Forward {
       exploded("idx") === featuresAll("f_idx") && exploded("id24") === featuresAll("f_id24"),
       "left")
       .withColumn("display", substring_index(col("f_text"), ",", 1))
-      .cache()
 
     // context fill (reference verifymatch.js:542-559): reverse-lookup the
     // lead feature's center in every layer coarser than the lead, to
@@ -140,15 +139,14 @@ object Forward {
     val leads = withFeatures.where(col("pos") === 0)
       .select(col("query_id"), col("rank"), col("idx").as("lead_idx"),
         col("center_lon").as("lon"), col("center_lat").as("lat"))
-    val contextRows = index.layers.map { l =>
-      Reverse.layerPick(leads, l, Seq("query_id", "rank"), radiusMiles = 0.0)
+    val contextRows =
+      Reverse.picks(leads, index, Seq("query_id", "rank"), radiusMiles = 0.0)
         .join(leads.select(col("query_id"), col("rank"), col("lead_idx")),
           Seq("query_id", "rank"))
         .where(col("idx") < col("lead_idx"))
         .select(col("query_id"), col("rank"), col("idx"),
           substring_index(col("text"), ",", 1).as("display"))
         .withColumn("src", lit(1))
-    }.reduce(_ unionByName _)
 
     val matchedRows = withFeatures
       .select(col("query_id"), col("rank"), col("relev"), col("scoredist"),

@@ -1,7 +1,8 @@
 package graft.query
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core._
 import graft.index.IndexBuilder.CarmenIndex
 import graft.ops.GeoOps
@@ -9,9 +10,11 @@ import graft.ops.GeoOps
 /** Batch reverse geocode: points -> per-layer tile lookup -> nearest/PIP
   * pick -> stacked context (reference lib/geocoder/context.js).
   *
-  * Per layer the lookup is a partition-prunable equi-join on (z, x, y): the
-  * point's tile at the layer zoom, the Spark analog of the reference's
-  * LRU-cached vector-tile fetch (context.js:309-371). Containment is exact
+  * The lookup is ONE partition-prunable equi-join: each point explodes to
+  * its tile at every distinct layer zoom, joined against the unified
+  * tile_features table on (z, x, y) — the Spark analog of the reference's
+  * LRU-cached per-layer vector-tile fetch (context.js:309-371), but with a
+  * single shuffle regardless of layer count. Containment is exact
   * ray-casting for polygons (direct hit, distance 0); otherwise haversine
   * distance to the feature center with the reference's pick order
   * min(distance, id) and ghost filtering (context.js:480-542).
@@ -21,23 +24,22 @@ object Reverse {
   private val pipUdf = udf((geojson: String, lon: Double, lat: Double) =>
     Geom.contains(Geom.fromJson(geojson), lon, lat))
 
-  /** Per-layer best-feature pick for a set of points keyed by `keys`:
-    * partition-pruned tile equi-join, PIP direct hits, min (distance, id)
-    * per key (context.js:480-542). Shared by reverse geocode and the
-    * forward pipeline's context fill (verifymatch.js:542-559).
+  /** Best feature per (keys, layer) for a set of points: single tile join
+    * over all layers. Shared by reverse geocode and forward context fill.
     */
-  def layerPick(points: DataFrame, l: graft.index.IndexBuilder.LayerIndex,
-                keys: Seq[String], radiusMiles: Double): DataFrame = {
-    val z = l.config.zoom
-    val withTile = points
-      .withColumn("tx", GeoOps.tileX(col("lon"), z))
-      .withColumn("ty", GeoOps.tileY(col("lat"), z))
-    val tf = l.tileFeatures
-      .select(col("x"), col("y"), col("id").as("feature_id"),
-        col("id24"), col("text"), col("score"),
-        col("center_lon").as("f_lon"), col("center_lat").as("f_lat"),
-        col("geometry"))
-    withTile.join(tf, withTile("tx") === tf("x") && withTile("ty") === tf("y"))
+  def picks(points: DataFrame, index: CarmenIndex, keys: Seq[String],
+            radiusMiles: Double): DataFrame = {
+    // explode each point to its tile at every distinct layer zoom
+    val tiles = index.zooms.map { z =>
+      points.withColumn("z", lit(z))
+        .withColumn("tx", GeoOps.tileX(col("lon"), z))
+        .withColumn("ty", GeoOps.tileY(col("lat"), z))
+    }.reduce(_ unionByName _)
+
+    val tf = index.allTileFeatures
+    tiles.join(tf, tiles("z") === tf("z") && tiles("tx") === tf("x") &&
+        tiles("ty") === tf("y"))
+      .drop(tf("z"))
       .where(col("score") >= 0) // ghost filter (context.js:518-526)
       .withColumn("direct_hit", pipUdf(col("geometry"), col("lon"), col("lat")))
       .withColumn("dist_miles",
@@ -45,24 +47,19 @@ object Reverse {
           haversineMilesCol(col("lon"), col("lat"), col("f_lon"), col("f_lat"))))
       .where(col("direct_hit") || col("dist_miles") <= radiusMiles)
       .withColumn("pick",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(keys.map(col): _*)
+        row_number().over(Window
+          .partitionBy((keys :+ "idx").map(col): _*)
           .orderBy(col("dist_miles"), col("feature_id"))))
       .where(col("pick") === 1)
-      .select(keys.map(col) ++ Seq(lit(l.config.idx).as("idx"),
-        lit(l.config.name).as("layer"), col("feature_id"), col("text"),
-        col("dist_miles"), col("f_lon").as("center_lon"),
+      .select(keys.map(col) ++ Seq(col("idx"), col("layer"), col("feature_id"),
+        col("text"), col("dist_miles"), col("f_lon").as("center_lon"),
         col("f_lat").as("center_lat")): _*)
   }
 
   def reverse(spark: SparkSession, index: CarmenIndex, points: DataFrame,
               radiusMiles: Double = 48.0): DataFrame = {
     val pts = points.select(col("query_id").cast("long"), col("lon"), col("lat"))
-    val perLayer = index.layers.map(l =>
-      layerPick(pts, l, Seq("query_id"), radiusMiles))
-
-    // stack: context hierarchy fine -> coarse per query
-    val all = perLayer.reduce(_ unionByName _)
+    val all = picks(pts, index, Seq("query_id"), radiusMiles)
     all.withColumn("display", substring_index(col("text"), ",", 1))
       .groupBy(col("query_id"))
       .agg(
@@ -78,8 +75,8 @@ object Reverse {
   }
 
   /** Haversine miles as a pure Column expression (codegen). */
-  def haversineMilesCol(lon1: org.apache.spark.sql.Column, lat1: org.apache.spark.sql.Column,
-                        lon2: org.apache.spark.sql.Column, lat2: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def haversineMilesCol(lon1: Column, lat1: Column,
+                        lon2: Column, lat2: Column): Column = {
     val dLat = radians(lat2 - lat1)
     val dLon = radians(lon2 - lon1)
     val a = pow(sin(dLat / 2), 2) + pow(sin(dLon / 2), 2) * cos(radians(lat1)) * cos(radians(lat2))
