@@ -31,7 +31,8 @@ object IndexBuilder {
       features: DataFrame,     // id, id24, text, score, geometry, center_lon/lat, zxy
       postings: DataFrame,     // phrase, phrase_id, lang_set, relev, score3, id24, x, y, phrase_hash
       tileFeatures: DataFrame, // z, x, y, id, id24, text, score, center_lon/lat, geometry
-      scorefactor: Double      // max score of the layer (3-bit decode factor)
+      scorefactor: Double,     // max score of the layer (3-bit decode factor)
+      deletes: DataFrame       // variant, phrase, layer (fuzzy candidates)
   )
 
   final case class CarmenIndex(layers: Vector[LayerIndex]) {
@@ -54,6 +55,9 @@ object IndexBuilder {
       }.reduce(_ unionByName _).cache()
     /** Distinct layer zooms (for point -> per-zoom tile explosion). */
     lazy val zooms: Vector[Int] = layers.map(_.config.zoom).distinct.sorted
+    /** Union of all layers' fuzzy delete-variant tables. */
+    lazy val allDeletes: DataFrame =
+      layers.map(_.deletes).reduce(_ unionByName _)
   }
 
   private val coverUdf = udf((geojson: String, zoom: Int) => {
@@ -135,7 +139,16 @@ object IndexBuilder {
         .withColumnRenamed("centerLon", "center_lon")
         .withColumnRenamed("centerLat", "center_lat")
 
-      LayerIndex(cfg, features, postings, tileFeatures, math.max(maxScore, 0.0))
+      // 6. symmetric-delete fuzzy candidate table (P6): variant -> phrase
+      val deletes = postings.select(col("phrase")).distinct()
+        .as[String]
+        .flatMap(p => Fuzzy.phraseVariants(p).map(v => (v, p)))
+        .toDF("variant", "phrase")
+        .withColumn("layer", lit(cfg.name))
+        .cache()
+
+      LayerIndex(cfg, features, postings, tileFeatures, math.max(maxScore, 0.0),
+        deletes)
     }
     CarmenIndex(built.toVector)
   }

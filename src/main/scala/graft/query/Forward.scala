@@ -25,9 +25,20 @@ object Forward {
   final case class Options(
       limit: Int = 5,
       autocomplete: Boolean = true,
+      fuzzy: Boolean = true,
       proximity: Option[(Double, Double)] = None,
       limitVerify: Int = 10
   )
+
+  /** Query-side fuzzy variant row. */
+  final case class FuzzVar(queryId: Long, subquery: String, mask: Int,
+                           ender: Boolean, weight: Double, qlen: Int,
+                           variant: String)
+
+  private val phraseDistUdf = udf((q: String, c: String) =>
+    Fuzzy.phraseDistance(q, c).getOrElse(-1))
+  private val penaltyUdf = udf((original: String, ed: Int) =>
+    Fuzzy.editPenalty(original, ed))
 
   /** Subquery window row. */
   final case class SubQ(queryId: Long, subquery: String, mask: Int,
@@ -72,13 +83,39 @@ object Forward {
     val postings = index.allPostings
     val exact = postings.join(broadcast(subs), postings("phrase") === subs("subquery"))
       .withColumn("is_prefix", lit(false))
-    val matched =
+    val withPrefix =
       if (!opts.autocomplete) exact
       else exact.unionByName(
         postings.join(broadcast(subs.where(col("ender"))),
           postings("phrase").startsWith(subs("subquery")) &&
             postings("phrase") =!= subs("subquery"))
           .withColumn("is_prefix", lit(true)))
+
+    // fuzzy branch (P6): symmetric-delete candidate join + DL<=1 verify +
+    // levenshtein-ratio weight penalty (reference phrasematch.js:328-345)
+    val matched =
+      if (!opts.fuzzy) withPrefix
+      else {
+        val qVariants = subs.as[SubQ].flatMap { s =>
+          Fuzzy.phraseVariants(s.subquery).map(v =>
+            FuzzVar(s.queryId, s.subquery, s.mask, s.ender, s.weight, s.qlen, v))
+        }.toDF()
+        val cand = index.allDeletes.join(broadcast(qVariants), Seq("variant"))
+          .where(col("phrase") =!= col("subquery"))
+          .select(col("layer").as("cand_layer"), col("phrase").as("cand_phrase"),
+            col("queryId"), col("subquery"), col("mask"), col("ender"),
+            col("weight"), col("qlen"))
+          .distinct()
+          .withColumn("edit", phraseDistUdf(col("subquery"), col("cand_phrase")))
+          .where(col("edit") === 1)
+          .withColumn("weight", col("weight") * penaltyUdf(col("subquery"), col("edit")))
+        val fuzzyMatched = postings.join(cand,
+            postings("layer") === cand("cand_layer") &&
+              postings("phrase") === cand("cand_phrase"))
+          .drop("cand_layer", "cand_phrase", "edit")
+          .withColumn("is_prefix", lit(false))
+        withPrefix.unionByName(fuzzyMatched.select(withPrefix.columns.map(col): _*))
+      }
 
     val cfgByLayer = index.layers.map(l =>
       l.config.name -> (l.config, l.scorefactor)).toMap
@@ -99,8 +136,8 @@ object Forward {
       val (cfgs, ndxs) = cfgBc.value
       val rows = it.toVector
       val qlen = rows.head.qlen
-      val pms = rows.groupBy(r => (r.layer, r.mask, r.subquery, r.prefix))
-        .map { case ((layer, mask, subq, pfx), grs) =>
+      val pms = rows.groupBy(r => (r.layer, r.mask, r.subquery, r.prefix, r.weight))
+        .map { case ((layer, mask, subq, pfx, _), grs) =>
           val (cfg, scorefactor) = cfgs(layer)
           StackCoalesce.Pm(layer, cfg.idx, ndxs(layer), cfg.nonOverlapping,
             cfg.zoom, subq, mask, grs.head.weight, pfx,

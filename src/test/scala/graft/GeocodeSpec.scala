@@ -117,4 +117,26 @@ class GeocodeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val byQuery = res.groupBy("query_id").count().count()
     assert(byQuery === 50, "every query gets results")
   }
+
+  test("fuzzy geocode: one-letter typo still resolves (DL<=1)") {
+    val res = fw("West Lake Viev Rd Englewood")
+    assert(res.nonEmpty, "typo should fuzzy-match")
+    assert(res.head._3 === "West Lake View Rd, Englewood, New Jersey, United States", s"got $res")
+    assert(res.head._2 < 1.0 && res.head._2 >= 0.8, s"penalized relevance: $res")
+  }
+
+  test("fuzzy geocode: transposition resolves") {
+    val res = fw("Chester New Jersye")
+    assert(res.nonEmpty)
+    assert(res.head._3.startsWith("Chester, New Jersey"), s"got $res")
+  }
+
+  test("fuzzy geocode: short words are never corrected (MIN_CORRECTION_LENGTH)") {
+    val res = fw("Xain St Chester", autocomplete = false)
+    // "xain" -> "main" is a correction of a 4-char word: allowed
+    assert(res.exists(_._3.contains("Main St")), s"got $res")
+    val res2 = fw("Mxin Qt Chester", autocomplete = false)
+    // "qt" -> "st" is 2 chars (< 4): never corrected
+    assert(!res2.exists(_._3.contains("Main St")), s"got $res2")
+  }
 }
