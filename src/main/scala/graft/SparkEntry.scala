@@ -255,6 +255,31 @@ object SparkEntry {
       val index = GeoIndexCache.get(s)
       index.allPostings.select(col("layer"), col("phrase"), col("phrase_id"),
         col("relev"), col("score3"), col("id24"), col("x"), col("y"))
+    }),
+
+    "geocode_fuzzy" -> ((s, _) => {
+      import s.implicits._
+      val index = GeoIndexCache.get(s)
+      val qs = Seq((1L, "West Lake Viev Rd Englewood"), (2L, "Chester New Jersye"),
+        (3L, "Springfeild Pennsylvania"), (4L, "Fulton St Lakewod Texas"))
+        .toDF("query_id", "query")
+      graft.query.Forward.forward(s, index, qs)
+        .select(col("query_id"), col("rank"), col("relev"), col("place_name"))
+    }),
+
+    // --- multimodal binary columns (decode kernel stubbed; plumbing real) --
+    "multimodal_features" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(Tables.events(s, d))
+      Multimodal.mediaFeatures(media)
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("channels"), col("payload_bytes"))
+    }),
+
+    // --- structured streaming (bounded replay of the events table) --------
+    "stream_windowed_counts" -> ((s, d) => {
+      graft.streaming.StreamOps.runBoundedWindowCount(s, s"$d/events.parquet")
+        .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+          col("event_type"), col("n"))
     })
   )
 
@@ -419,6 +444,11 @@ object SparkEntry {
       s"""WITH pts AS (${GeoOps.syntheticPointsSql})
          |SELECT ${GeoOps.tileXSql("lon", 4)} AS tx,
          |  ${GeoOps.tileYSql("lat", 4)} AS ty, COUNT(*) AS n
-         |FROM pts GROUP BY 1, 2""".stripMargin
+         |FROM pts GROUP BY 1, 2""".stripMargin,
+
+    "stream_windowed_counts" ->
+      """SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS hour_epoch,
+        |  event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 }

@@ -54,7 +54,21 @@ object Forward {
   final case class ResultRow(queryId: Long, rank: Int, relev: Double,
                              scoredist: Double, covers: Seq[CoverRow])
   final case class CoverRow(idx: Int, layer: String, id24: Long, x: Int, y: Int,
-                            zoom: Int, relev: Double, score: Double)
+                            zoom: Int, relev: Double, score: Double,
+                            tmpid: Long, mask: Int, text: String)
+
+  /** Tagged row feeding the per-query verify re-rank (kind: 0=cover,
+    * 1=context feature, 2=lead feature). */
+  final case class VRowT(query_id: Long, position: Int, kind: Int, tmpid: Long,
+                         idx: Int, mask: Int, relev: Double, text: String,
+                         zoom: Int, smRelev: Double, scoredist: Double,
+                         featureId: Long, lon: Double, lat: Double,
+                         display: String)
+
+  final case class FinalRow(query_id: Long, rank: Int, relev: Double,
+                            scoredist: Double, place_name: String,
+                            feature_id: Long, center_lon: Double,
+                            center_lat: Double, lead_idx: Int)
 
   def subqueries(spark: SparkSession, queries: DataFrame): DataFrame = {
     import spark.implicits._
@@ -149,69 +163,107 @@ object Forward {
       sms.take(limitVerify).zipWithIndex.map { case (sm, i) =>
         ResultRow(qid, i + 1, JsNum.roundTo(sm.relev, 4), sm.scoredist,
           sm.covers.map(c => CoverRow(c.idx, layerOf(cfgs, c.idx), c.id24,
-            c.x, c.y, c.zoom, c.relev, c.score)))
+            c.x, c.y, c.zoom, c.relev, c.score, c.tmpid, c.mask, c.text)))
       }.iterator
     }.toDF()
 
-    // 4. verify-lite + format: join lead + context covers to features
+    // 4. verify + format (reference verifymatch.js): join lead covers to
+    // features, reverse-context fill, per-query strict/loose re-rank
     val featuresAll = index.layers.map { l =>
       l.features.select(lit(l.config.idx).as("f_idx"), col("id24").as("f_id24"),
         col("id").as("feature_id"), col("text").as("f_text"),
         col("center_lon"), col("center_lat"))
     }.reduce(_ unionByName _)
 
-    val exploded = results.select(col("queryId").as("query_id"), col("rank"),
-        col("relev"), col("scoredist"), posexplode(col("covers")).as(Seq("pos", "cover")))
-      .select(col("query_id"), col("rank"), col("relev"), col("scoredist"),
-        col("pos"), col("cover.idx"), col("cover.id24"))
+    val exploded = results.select(col("queryId").as("query_id"),
+        col("rank").as("position"), col("relev").as("smRelev"), col("scoredist"),
+        posexplode(col("covers")).as(Seq("pos", "cover")))
+      .select(col("query_id"), col("position"), col("smRelev"), col("scoredist"),
+        col("pos"), col("cover.*"))
 
-    val withFeatures = exploded.join(broadcast(featuresAll),
-      exploded("idx") === featuresAll("f_idx") && exploded("id24") === featuresAll("f_id24"),
-      "left")
-      .withColumn("display", substring_index(col("f_text"), ",", 1))
+    // cover rows (kind 0)
+    val coverRows = exploded.select(col("query_id"), col("position"),
+      lit(0).as("kind"), col("tmpid"), col("idx"), col("mask"), col("relev"),
+      col("text"), col("zoom"), col("smRelev"), col("scoredist"),
+      lit(-1L).as("featureId"), lit(0.0).as("lon"), lit(0.0).as("lat"),
+      lit("").as("display"))
 
-    // context fill (reference verifymatch.js:542-559): reverse-lookup the
-    // lead feature's center in every layer coarser than the lead, to
-    // complete the hierarchy for layers the query text did not match
-    val leads = withFeatures.where(col("pos") === 0)
-      .select(col("query_id"), col("rank"), col("idx").as("lead_idx"),
-        col("center_lon").as("lon"), col("center_lat").as("lat"))
+    // lead rows (kind 2): pos==0 cover joined to its feature
+    val leadJoined = exploded.where(col("pos") === 0)
+      .join(broadcast(featuresAll),
+        exploded("idx") === featuresAll("f_idx") &&
+          exploded("id24") === featuresAll("f_id24"), "left")
+    val leadRows = leadJoined.select(col("query_id"), col("position"),
+      lit(2).as("kind"), col("tmpid"), col("idx"), col("mask"), col("relev"),
+      col("text"), col("zoom"), col("smRelev"), col("scoredist"),
+      coalesce(col("feature_id"), lit(-1L)).as("featureId"),
+      coalesce(col("center_lon"), lit(0.0)).as("lon"),
+      coalesce(col("center_lat"), lit(0.0)).as("lat"),
+      coalesce(substring_index(col("f_text"), ",", 1), lit("")).as("display"))
+
+    // context rows (kind 1): reverse-lookup of the lead center in every
+    // layer coarser than the lead (reference verifymatch.js:542-559)
+    val leadPts = leadRows.select(col("query_id"), col("position"),
+      col("idx").as("lead_idx"), col("lon"), col("lat"))
     val contextRows =
-      Reverse.picks(leads, index, Seq("query_id", "rank"), radiusMiles = 0.0)
-        .join(leads.select(col("query_id"), col("rank"), col("lead_idx")),
-          Seq("query_id", "rank"))
+      Reverse.picks(leadPts, index, Seq("query_id", "position"), radiusMiles = 0.0)
+        .join(leadPts.select(col("query_id"), col("position"), col("lead_idx")),
+          Seq("query_id", "position"))
         .where(col("idx") < col("lead_idx"))
-        .select(col("query_id"), col("rank"), col("idx"),
+        .select(col("query_id"), col("position"), lit(1).as("kind"),
+          (col("idx").cast("long") * (1L << 25) +
+            pmod(abs(col("feature_id")), lit(1L << 24))).as("tmpid"),
+          col("idx"), lit(0).as("mask"), lit(0.0).as("relev"),
+          col("text"), lit(0).as("zoom"), lit(0.0).as("smRelev"),
+          lit(0.0).as("scoredist"), col("feature_id").as("featureId"),
+          col("center_lon").as("lon"), col("center_lat").as("lat"),
           substring_index(col("text"), ",", 1).as("display"))
-        .withColumn("src", lit(1))
 
-    val matchedRows = withFeatures
-      .select(col("query_id"), col("rank"), col("relev"), col("scoredist"),
-        col("pos"), col("idx"), col("feature_id"), col("center_lon"),
-        col("center_lat"), col("display"))
+    val tagged = coverRows.unionByName(leadRows).unionByName(contextRows)
+      .as[VRowT]
 
-    // prefer the matched cover's feature over the context pick per idx
-    val contextPruned = contextRows.as("c")
-      .join(matchedRows.select(col("query_id"), col("rank"), col("idx")).as("m"),
-        Seq("query_id", "rank", "idx"), "left_anti")
+    val limit = opts.limit
+    val finals = tagged.groupByKey(_.query_id).flatMapGroups { (qid, it) =>
+      val (cfgs, ndxs) = cfgBc.value
+      def ndxOf(idx: Int): Int =
+        cfgs.collectFirst { case (name, (c, _)) if c.idx == idx => ndxs(name) }
+          .getOrElse(idx)
+      val rows = it.toVector
+      val byPos = rows.groupBy(_.position)
+      val vresults = byPos.toVector.sortBy(_._1).flatMap { case (posn, rs) =>
+        val covers = rs.filter(_.kind == 0).map(r =>
+          VerifyRank.VCover(r.tmpid, r.idx, r.mask, r.relev, r.text, r.zoom))
+        val leadOpt = rs.find(_.kind == 2)
+        leadOpt.map { lead =>
+          val ctx = rs.filter(_.kind == 1).sortBy(-_.idx)
+          val context = VerifyRank.VCtx(lead.tmpid, lead.idx, ndxOf(lead.idx),
+            lead.display) +:
+            ctx.map(r => VerifyRank.VCtx(r.tmpid, r.idx, ndxOf(r.idx), r.display)).toVector
+          val placeName = (lead.display +: ctx.map(_.display)).filter(_.nonEmpty)
+            .mkString(", ")
+          (VerifyRank.VResult(posn, lead.smRelev, lead.scoredist,
+            covers.toVector, context, lead.featureId, ndxOf(lead.idx)),
+            (placeName, lead.featureId, lead.lon, lead.lat, lead.idx))
+        }
+      }
+      val meta = vresults.map { case (vr, m) => vr.position -> m }.toMap
+      val ranked = VerifyRank.rank(vresults.map(_._1))
+      // dedupe by place_name keeping the best (reference format-features O2)
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      ranked.iterator.flatMap { v =>
+        val (placeName, fid, lon, lat, leadIdx) = meta(v.position)
+        if (seen.contains(placeName)) None
+        else {
+          seen += placeName
+          Some((v, placeName, fid, lon, lat, leadIdx))
+        }
+      }.take(limit).zipWithIndex.map { case ((v, placeName, fid, lon, lat, leadIdx), i) =>
+        FinalRow(qid, i + 1, v.relevance, v.scoredist, placeName, fid, lon, lat,
+          leadIdx)
+      }
+    }
 
-    val allNames = matchedRows
-      .select(col("query_id"), col("rank"), col("idx"), col("display"))
-      .unionByName(contextPruned.select(col("query_id"), col("rank"),
-        col("idx"), col("display")))
-
-    val names = allNames
-      .groupBy(col("query_id"), col("rank"))
-      .agg(concat_ws(", ", transform(array_sort(collect_list(
-        struct((lit(100) - col("idx")).as("ord"), col("display")))),
-        s => s.getField("display"))).as("place_name"))
-
-    matchedRows.where(col("pos") === 0)
-      .select(col("query_id"), col("rank"), col("relev"), col("scoredist"),
-        col("feature_id"), col("center_lon"), col("center_lat"),
-        col("idx").as("lead_idx"))
-      .join(names, Seq("query_id", "rank"))
-      .where(col("rank") <= opts.limit)
+    finals.toDF()
       .select(col("query_id"), col("rank"), col("relev"), col("scoredist"),
         col("place_name"), col("feature_id"), col("center_lon"),
         col("center_lat"), col("lead_idx"))

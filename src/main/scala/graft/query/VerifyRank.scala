@@ -1,0 +1,136 @@
+package graft.query
+
+import scala.collection.mutable
+import graft.core.JsNum
+
+/** The verify-stage context re-rank — port of the reference's
+  * verifyContext / verifyContexts / sortContext state machine
+  * (reference lib/geocoder/verifymatch.js:574-977, 1003-1053):
+  * strict/loose relevance accumulation over mask-disjoint matches, the
+  * "backy" direction penalty (x0.5), near-alignment half credit
+  * ("closeButNoCigar"), and the direction bonus vs geocoder_address_order.
+  * Squishy score inheritance hooks exist but stay inert until layers set
+  * geocoder_inherit_score.
+  */
+object VerifyRank {
+
+  /** A cover from the spatialmatch stack (strict candidates). */
+  final case class VCover(tmpid: Long, idx: Int, mask: Int, relev: Double,
+                          text: String, zoom: Int)
+
+  /** One context element; position 0 is the candidate feature itself,
+    * the rest the reverse-context hierarchy sorted low-to-high.
+    */
+  final case class VCtx(tmpid: Long, idx: Int, ndx: Int, text: String,
+                        ignoreOrder: Boolean = false)
+
+  /** One spatialmatch result awaiting verification. */
+  final case class VResult(position: Int, smRelev: Double, scoredist: Double,
+                           covers: Vector[VCover], context: Vector[VCtx],
+                           leadFeatureId: Long, leadNdx: Int)
+
+  final case class Verified(position: Int, relevance: Double, scoredist: Double,
+                            typeindex: Int, leadFeatureId: Long)
+
+  /** verifyContext (reference verifymatch.js:749-977). `strict` are this
+    * result's own covers; `loose` the best cover per tmpid across all
+    * results (pass empty for the strict-only invocation).
+    */
+  def verifyContext(context: Vector[VCtx], strict: Map[Long, VCover],
+                    loose: Map[Long, VCover],
+                    addressOrder: String = "ascending"): Double = {
+    var usedmask = 0
+    var closemask = 0
+    var lastmask = -1
+    var lastgroup = -1
+    var lastText: String = null
+    var relevance = 0.0
+    var closeRelevance = 0.0
+    var direction: String = null
+
+    val strictByIdx = strict.values.map(c => c.idx -> c).toMap
+
+    var c = 0
+    while (c < context.length) {
+      var backy = false
+      var closeButNoCigar = false
+      val ignoreOrder = false // geocoder_ignore_order unsupported layers yet
+      val feat = context(c)
+      var matchedOpt = strict.get(feat.tmpid).orElse(loose.get(feat.tmpid))
+      var skip = false
+
+      if (matchedOpt.isEmpty) {
+        strictByIdx.get(feat.idx) match {
+          case Some(m) =>
+            // same-index near-alignment: partial credit unless low-zoom or
+            // very short text (reference verifymatch.js:782-793)
+            if (m.zoom <= 8 || (m.text != null && m.text.length <= 3)) skip = true
+            else { matchedOpt = Some(m); closeButNoCigar = true }
+          case None => skip = true
+        }
+      }
+
+      if (!skip) {
+        val matched = matchedOpt.get
+        val conflict =
+          if (closeButNoCigar) (closemask & matched.mask) != 0
+          else (usedmask & matched.mask) != 0
+        if (!conflict) {
+          if (direction == null && !ignoreOrder && c > 0) {
+            direction = if (lastmask < matched.mask) "ascending" else "descending"
+          }
+          if (lastgroup > -1 && matched.text != lastText) {
+            if (direction == "ascending") backy = lastmask > matched.mask
+            else if (direction == "descending") backy = lastmask < matched.mask
+          }
+          if (closeButNoCigar) closemask |= matched.mask
+          else usedmask |= matched.mask
+          lastmask = matched.mask
+          lastgroup = feat.ndx
+          lastText = matched.text
+
+          var penalty = 1.0
+          if (backy && !ignoreOrder) penalty *= 0.5
+          if (closeButNoCigar) {
+            penalty *= 0.5
+            closeRelevance += matched.relev * penalty
+          } else {
+            relevance += matched.relev * penalty
+          }
+        }
+      }
+      c += 1
+    }
+
+    if (closemask != 0 && (closemask & usedmask) == 0) relevance += closeRelevance
+    if (direction != null) relevance -= 0.01
+    if (direction != null && addressOrder == direction) relevance += 0.01
+    math.max(relevance, 0.0)
+  }
+
+  /** verifyContexts: strict + loose passes, 6-dp rounding, drop relev 0,
+    * sortContext ordering, dedupe by identical display text.
+    */
+  def rank(results: Vector[VResult]): Vector[Verified] = {
+    // loose sets: best cover per tmpid across all results (spatialmatch.js:64-68)
+    val sets = mutable.HashMap.empty[Long, VCover]
+    for (r <- results; cv <- r.covers) {
+      val cur = sets.get(cv.tmpid)
+      if (cur.isEmpty || cur.get.relev < cv.relev) sets(cv.tmpid) = cv
+    }
+    val loose = sets.toMap
+
+    val verified = results.flatMap { r =>
+      val strict = r.covers.map(c => c.tmpid -> c).toMap
+      val strictRelev = verifyContext(r.context, strict, Map.empty)
+      val looseRelev = verifyContext(r.context, strict, loose)
+      val relevance = JsNum.roundTo(math.max(strictRelev, looseRelev), 6)
+      if (relevance > 0)
+        Some(Verified(r.position, relevance, r.scoredist, r.leadNdx, r.leadFeatureId))
+      else None
+    }
+
+    verified.sortBy(v => (-v.relevance, -v.scoredist, v.typeindex, v.position,
+      v.leadFeatureId))
+  }
+}

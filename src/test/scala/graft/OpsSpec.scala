@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Spark-level tests for the training-pipeline operators: dedup recall,
+  * similarity ranking sanity, multimodal plumbing, streaming parity.
+  */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("exact dedup finds planted duplicates") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "something else"), (4L, "the quick brown fox"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.exactDupPairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 4L)))
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    val sp = spark; import sp.implicits._
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"token$i").mkString(" ")
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("simhash near-dup pairs vs distant docs") {
+    val sp = spark; import sp.implicits._
+    val base = (1 to 64).map(i => s"token$i").mkString(" ")
+    val near = (1 to 64).map(i => if (i % 32 == 0) s"x$i" else s"token$i").mkString(" ")
+    val far = (1 to 64).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("cosine top-k ranks an identical vector first") {
+    val sp = spark; import sp.implicits._
+    val v = Array.tabulate(8)(i => i.toFloat + 1)
+    val corpus = Seq((1L, v), (2L, v.map(_ * 2)), // same direction as query
+      (3L, Array.tabulate(8)(i => (8 - i).toFloat))).toDF("vec_id", "embedding")
+    val q = Seq((10L, v)).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(corpus, q, k = 2)
+      .orderBy("rank").select("corpus_id").as[Long].collect().toSeq
+    assert(top.take(2) === Seq(1L, 2L)) // cos=1 ties broken by id
+  }
+
+  test("multimodal probe + features plumbing") {
+    val media = Multimodal.syntheticMedia(Tables.events(spark, sf))
+    val feats = Multimodal.mediaFeatures(media).cache()
+    assert(feats.count() === 1000)
+    assert(feats.where(col("kind").isin("image", "audio", "video")).count() === 1000)
+    val row = feats.orderBy("media_id").first()
+    assert(row.getSeq[Float](row.fieldIndex("features")).length === 8)
+    // deterministic: same media_id -> same features
+    val again = Multimodal.mediaFeatures(media).orderBy("media_id").first()
+    assert(row.getSeq[Float](row.fieldIndex("features")) === again.getSeq[Float](again.fieldIndex("features")))
+  }
+
+  test("streaming windowed counts equal the batch aggregation") {
+    val streaming = graft.streaming.StreamOps
+      .runBoundedWindowCount(spark, s"$sf/events.parquet")
+      .select(unix_timestamp(col("window.start")).as("h"), col("event_type"), col("n"))
+    val batch = Tables.events(spark, sf)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streaming.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streaming).count() === 0)
+  }
+
+  test("streaming sessionization with state") {
+    val sp = spark; import sp.implicits._
+    import graft.streaming.StreamOps._
+    // batch-mode check of the session fold logic via groupByKey on a Dataset
+    val t0 = 1577836800000L
+    val in = Seq(
+      SessionIn(1, new java.sql.Timestamp(t0), 1.0),
+      SessionIn(1, new java.sql.Timestamp(t0 + 60000), 2.0),
+      SessionIn(2, new java.sql.Timestamp(t0), 5.0)).toDS()
+    val sessions = sessionize(in).collect().map(s => s.user_id -> s).toMap
+    assert(sessions(1L).events === 2 && sessions(1L).totalValue === 3.0)
+    assert(sessions(2L).events === 1 && sessions(2L).totalValue === 5.0)
+  }
+}
