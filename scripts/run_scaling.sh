@@ -7,7 +7,7 @@ OUT=${1:-/tmp/scaling}
 mkdir -p "$OUT"
 for CPUS in 8 32; do
   echo "=== level local[$CPUS] ==="
-  sbt -batch "runMain graft.ScalingBench $CPUS" 2>/dev/null \
+  SPARK_DRIVER_MEM=48g sbt -batch "runMain graft.ScalingBench $CPUS" 2>/dev/null \
     | grep -o '{"metric":"scaling_level".*}' > "$OUT/level_$CPUS.json"
   cat "$OUT/level_$CPUS.json"
 done

@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
   *  C. bulk tile assignment, map-only (codegen mercator math) — points/sec
   */
 object ScalingBench {
-  private val NPages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "2000000").toInt
-  private val NQueries = sys.env.getOrElse("SPARK_GRAFT_SCALE_QUERIES", "30000").toInt
+  private val NPages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "6000000").toInt
+  private val NQueries = sys.env.getOrElse("SPARK_GRAFT_SCALE_QUERIES", "60000").toInt
   private val NPoints = sys.env.getOrElse("SPARK_GRAFT_SCALE_POINTS", "200000000").toLong
 
   def main(args: Array[String]): Unit = {
@@ -47,14 +47,13 @@ object ScalingBench {
   def runAll(spark: SparkSession, cpus: Int): (Double, Double, Double) = {
     import graft.index.PageSynth
 
-    val repart = cpus * 4
-
-    // A. page ingest + extraction
+    // A. page ingest + extraction (range source splits at session
+    // parallelism — no synthetic shuffle in the measured path)
     def ingest(n: Int): Long =
-      PageSynth.extract(spark, PageSynth.pages(spark, n).repartition(repart))
-        .count()
+      PageSynth.extract(spark, PageSynth.pages(spark, n)).count()
     ingest(100000) // warm JIT + codegen
     val tA = time(ingest(NPages))
+    System.err.println(s"[scaling cpus=$cpus] ingest ${NPages} pages: ${tA}s")
 
     // B. batch forward geocode against the built index
     val index = PageSynth.buildIndex(spark, 1000)
@@ -64,16 +63,16 @@ object ScalingBench {
       val qs = spark.range(n).select(col("id").as("query_id"),
         element_at(array(names.map(lit): _*),
           (pmod(col("id"), lit(names.length)) + 1).cast("int")).as("query"))
-        .repartition(repart)
       graft.query.Forward.forward(spark, index, qs).count()
     }
     geocode(5000)
     val tB = time(geocode(NQueries))
+    System.err.println(s"[scaling cpus=$cpus] geocode ${NQueries}: ${tB}s")
 
     // C. bulk tile assignment: map-only mercator math, aggregated without
     // grouping so the measurement is the codegen scan itself
     def tiles(n: Long): Long = {
-      val pts = spark.range(n).repartition(repart).select(
+      val pts = spark.range(n).select(
         ((col("id") % 3600000L) / 10000.0 - 180.0 + 0.00005).as("lon"),
         ((col("id") % 1400000L) / 10000.0 - 70.0 + 0.00005).as("lat"))
       pts.select((graft.ops.GeoOps.tileX(col("lon"), 14) +
@@ -82,6 +81,7 @@ object ScalingBench {
     }
     tiles(20000000L)
     val tC = time(tiles(NPoints))
+    System.err.println(s"[scaling cpus=$cpus] tiles ${NPoints}: ${tC}s")
 
     (NPages / tA, NQueries / tB, NPoints / tC)
   }

@@ -96,17 +96,21 @@ object PageSynth {
   def extract(spark: SparkSession, pages: DataFrame): DataFrame = {
     import spark.implicits._
     val parsed = pages.select(col("url"), col("html"), col("text")).as[(String, Array[Byte], String)]
-      .flatMap { case (url, html, text) =>
+      .mapPartitions { it =>
+        // one Jackson mapper per partition, not per row
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        it.flatMap { case (url, html, text) =>
         val s = new String(html, "UTF-8")
         val m = geoScript.matcher(s)
         if (m.find()) {
-          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(m.group(1))
+          val node = mapper.readTree(m.group(1))
           Some((url, text,
             node.get("layer").asText(), node.get("id").asLong(),
             node.get("name").asText(), node.get("score").asDouble(),
             node.get("geometry").toString,
             node.get("lon").asDouble(), node.get("lat").asDouble()))
         } else None
+      }
       }
       .toDF("url", "text", "layer", "id", "name", "score", "geometry", "lon", "lat")
     parsed

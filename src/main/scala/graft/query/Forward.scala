@@ -91,16 +91,20 @@ object Forward {
               opts: Options = Options()): DataFrame = {
     import spark.implicits._
 
-    val subs = subqueries(spark, queries)
+    // localCheckpoint (not cache): materializes once and truncates lineage
+    // without registering with the CacheManager — repeated forward() calls
+    // with cache() degrade as every new plan is matched against all
+    // previously cached plans (measured 10s -> 27s per call)
+    val subs = subqueries(spark, queries).localCheckpoint()
 
     // 2. phrasematch joins: exact + (strict) prefix for autocomplete enders
     val postings = index.allPostings
-    val exact = postings.join(broadcast(subs), postings("phrase") === subs("subquery"))
+    val exact = postings.join(subs, postings("phrase") === subs("subquery"))
       .withColumn("is_prefix", lit(false))
     val withPrefix =
       if (!opts.autocomplete) exact
       else exact.unionByName(
-        postings.join(broadcast(subs.where(col("ender"))),
+        postings.join(subs.where(col("ender")),
           postings("phrase").startsWith(subs("subquery")) &&
             postings("phrase") =!= subs("subquery"))
           .withColumn("is_prefix", lit(true)))
@@ -114,7 +118,7 @@ object Forward {
           Fuzzy.phraseVariants(s.subquery).map(v =>
             FuzzVar(s.queryId, s.subquery, s.mask, s.ender, s.weight, s.qlen, v))
         }.toDF()
-        val cand = index.allDeletes.join(broadcast(qVariants), Seq("variant"))
+        val cand = index.allDeletes.join(qVariants, Seq("variant"))
           .where(col("phrase") =!= col("subquery"))
           .select(col("layer").as("cand_layer"), col("phrase").as("cand_phrase"),
             col("queryId"), col("subquery"), col("mask"), col("ender"),
@@ -166,6 +170,8 @@ object Forward {
             c.x, c.y, c.zoom, c.relev, c.score, c.tmpid, c.mask, c.text)))
       }.iterator
     }.toDF()
+      // reused by cover/lead/context branches below — materialize once
+      .localCheckpoint()
 
     // 4. verify + format (reference verifymatch.js): join lead covers to
     // features, reverse-context fill, per-query strict/loose re-rank
@@ -200,6 +206,7 @@ object Forward {
       coalesce(col("center_lon"), lit(0.0)).as("lon"),
       coalesce(col("center_lat"), lit(0.0)).as("lat"),
       coalesce(substring_index(col("f_text"), ",", 1), lit("")).as("display"))
+      .localCheckpoint()
 
     // context rows (kind 1): reverse-lookup of the lead center in every
     // layer coarser than the lead (reference verifymatch.js:542-559)
