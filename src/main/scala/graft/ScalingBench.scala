@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   *  C. bulk tile assignment, map-only (codegen mercator math) — points/sec
   */
 object ScalingBench {
-  private val NPages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "6000000").toInt
-  private val NQueries = sys.env.getOrElse("SPARK_GRAFT_SCALE_QUERIES", "60000").toInt
-  private val NPoints = sys.env.getOrElse("SPARK_GRAFT_SCALE_POINTS", "200000000").toLong
+  private val NPages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "1500000").toInt
+  private val NQueries = sys.env.getOrElse("SPARK_GRAFT_SCALE_QUERIES", "20000").toInt
+  private val NPoints = sys.env.getOrElse("SPARK_GRAFT_SCALE_POINTS", "100000000").toLong
 
   def main(args: Array[String]): Unit = {
     val cpus = if (args.nonEmpty) args(0).toInt else 32
@@ -51,7 +51,10 @@ object ScalingBench {
     // parallelism — no synthetic shuffle in the measured path)
     def ingest(n: Int): Long =
       PageSynth.extract(spark, PageSynth.pages(spark, n)).count()
-    ingest(100000) // warm JIT + codegen
+    // warm with the SAME workload: codegen classes embed literals, so a
+    // different-size warmup compiles a different class and the measured run
+    // would pay interpreted-mode cost (measured 135s vs 5.9s warm)
+    ingest(NPages)
     val tA = time(ingest(NPages))
     System.err.println(s"[scaling cpus=$cpus] ingest ${NPages} pages: ${tA}s")
 
@@ -65,7 +68,7 @@ object ScalingBench {
           (pmod(col("id"), lit(names.length)) + 1).cast("int")).as("query"))
       graft.query.Forward.forward(spark, index, qs).count()
     }
-    geocode(5000)
+    geocode(NQueries)
     val tB = time(geocode(NQueries))
     System.err.println(s"[scaling cpus=$cpus] geocode ${NQueries}: ${tB}s")
 
@@ -75,11 +78,13 @@ object ScalingBench {
       val pts = spark.range(n).select(
         ((col("id") % 3600000L) / 10000.0 - 180.0 + 0.00005).as("lon"),
         ((col("id") % 1400000L) / 10000.0 - 70.0 + 0.00005).as("lat"))
+      // head() (not count()) — count over an aggregate lets the optimizer
+      // prune the tile-math column and measure an empty scan
       pts.select((graft.ops.GeoOps.tileX(col("lon"), 14) +
           graft.ops.GeoOps.tileY(col("lat"), 14)).as("t"))
-        .agg(sum(col("t"))).count()
+        .agg(sum(col("t"))).head().getLong(0)
     }
-    tiles(20000000L)
+    tiles(NPoints)
     val tC = time(tiles(NPoints))
     System.err.println(s"[scaling cpus=$cpus] tiles ${NPoints}: ${tC}s")
 
