@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.index.IndexBuilder
+import graft.model.{GeoDoc, LayerConfig}
+import graft.query.Forward
+
+/** Ported reference acceptance fixtures
+  * (reference test/acceptance/geocode-unit.order.test.js): five layers, all
+  * features on tile 6/32/32, exercising query-order ("backy") relevance and
+  * ascending/descending result arbitration.
+  */
+class AcceptanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private var index: IndexBuilder.CarmenIndex = _
+
+  private val pt = """{"type":"Point","coordinates":[0,0]}"""
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sp = spark
+    import sp.implicits._
+    def docs(d: GeoDoc*) = sp.createDataset(d)
+    index = IndexBuilder.build(spark, Seq(
+      (LayerConfig("country", idx = 0, zoom = 6, typ = "country"),
+        docs(GeoDoc(1, "United States", 0, pt, 0, 0))),
+      (LayerConfig("region", idx = 1, zoom = 6, typ = "region"),
+        docs(GeoDoc(1, "North Carolina", 0, pt, 0, 0))),
+      (LayerConfig("place", idx = 2, zoom = 6, typ = "place"),
+        docs(GeoDoc(1, "Winston-Salem", 0, pt, 0, 0))),
+      (LayerConfig("address", idx = 3, zoom = 6, typ = "address",
+        geocoderAddress = true),
+        docs(GeoDoc(1, "Log Cabin Ln", 0, pt, 0, 0))),
+      (LayerConfig("poi", idx = 4, zoom = 6, typ = "poi"),
+        docs(GeoDoc(2, "United States", 0, pt, 0, 0)))))
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def fw(q: String): Seq[(Int, Double, String, Long, Int)] = {
+    val sp = spark; import sp.implicits._
+    val queries = Seq((1L, q)).toDF("query_id", "query")
+    Forward.forward(spark, index, queries)
+      .select(col("rank"), col("relev"), col("place_name"), col("feature_id"),
+        col("lead_idx"))
+      .as[(Int, Double, String, Long, Int)].collect().toSeq.sortBy(_._1)
+  }
+
+  test("'{place} {region}': ascending order keeps relevance 1") {
+    val res = fw("Winston-Salem North Carolina")
+    assert(res.head._3.startsWith("Winston-Salem"), s"got $res")
+    assert(res.head._2 === 1.0, s"got $res")
+  }
+
+  test("'{region} {place}': unexpected descending order lowers relevance to 0.99") {
+    val res = fw("North Carolina Winston-Salem")
+    assert(res.head._3.startsWith("Winston-Salem"), s"got $res")
+    assert(res.head._2 === 0.99, s"got $res")
+  }
+
+  test("mixed-up order applies the backy penalty") {
+    val res = fw("Log Cabin Ln North Carolina Winston-Salem")
+    assert(res.head._3.startsWith("Log Cabin Ln"), s"got $res")
+    assert(res.head._2 < 0.99, s"backy-penalized: $res")
+  }
+
+  test("'North Carolina United States': region wins over descending poi") {
+    val res = fw("North Carolina United States")
+    assert(res.length >= 2, s"both directions returned: $res")
+    assert(res.head._5 === 1 && res.head._4 === 1L, s"first is region.1: $res")
+  }
+
+  test("'United States Winston-Salem': ascending poi wins (descending gappy)") {
+    val res = fw("United States Winston-Salem")
+    assert(res.length >= 2, s"both directions returned: $res")
+    assert(res.head._5 === 4 && res.head._4 === 2L, s"first is poi.2: $res")
+  }
+}
