@@ -171,6 +171,26 @@ object Geom {
     case _                   => Vector.empty
   }
 
+  /** Approximate great-circle distance (miles) from a point to a geometry:
+    * 0 inside polygons; nearest point on segments for lines; nearest vertex
+    * otherwise — the role vtquery's tile-space distance plays in the
+    * reference (lib/geocoder/context.js:576-631).
+    */
+  def distanceMiles(g: Geom, lon: Double, lat: Double): Double = g match {
+    case Point((x, y))  => Mercator.haversineMiles(lon, lat, x, y)
+    case MultiPoint(ps) =>
+      ps.map { case (x, y) => Mercator.haversineMiles(lon, lat, x, y) }.min
+    case LineString(_) | MultiLineString(_) =>
+      nearestPointOnLine(g, lon, lat)
+        .map { case (x, y) => Mercator.haversineMiles(lon, lat, x, y) }
+        .getOrElse(Double.MaxValue)
+    case Polygon(rs) =>
+      if (pipRaycast(rs, lon, lat)) 0.0
+      else rs.flatten.map { case (x, y) => Mercator.haversineMiles(lon, lat, x, y) }.min
+    case MultiPolygon(ps) => ps.map(p => distanceMiles(Polygon(p), lon, lat)).min
+    case Collection(gs)   => gs.map(distanceMiles(_, lon, lat)).min
+  }
+
   /** Bounding box [w, s, e, n]. */
   def bbox(g: Geom): (Double, Double, Double, Double) = {
     val pts = allPoints(g)

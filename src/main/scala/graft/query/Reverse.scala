@@ -24,8 +24,19 @@ object Reverse {
   private val pipUdf = udf((geojson: String, lon: Double, lat: Double) =>
     Geom.contains(Geom.fromJson(geojson), lon, lat))
 
+  private val geomDistUdf = udf((geojson: String, lon: Double, lat: Double) =>
+    Geom.distanceMiles(Geom.fromJson(geojson), lon, lat))
+
+  /** The reference's vtquery radius: 1000 web-mercator units of a 4096-unit
+    * tile at the layer zoom, converted to miles at the equator
+    * (reference lib/geocoder/context.js:583).
+    */
+  def vtqueryRadiusMiles(zoom: Int): Double =
+    24901.46 / (1L << zoom) * (1000.0 / 4096.0)
+
   /** Best feature per (keys, layer) for a set of points: single tile join
     * over all layers. Shared by reverse geocode and forward context fill.
+    * radiusMiles <= 0 selects the per-layer vtquery default radius.
     */
   def picks(points: DataFrame, index: CarmenIndex, keys: Seq[String],
             radiusMiles: Double): DataFrame = {
@@ -36,6 +47,15 @@ object Reverse {
         .withColumn("ty", GeoOps.tileY(col("lat"), z))
     }.reduce(_ unionByName _)
 
+    // per-layer default radius = vtquery's 1000 mercator units at the
+    // layer's zoom; an explicit positive radius overrides it
+    val zoomRadius = index.zooms.map(z => z -> vtqueryRadiusMiles(z)).toMap
+    val radiusCol =
+      if (radiusMiles > 0) lit(radiusMiles)
+      else index.zooms.foldLeft(lit(0.0)) { (acc, z) =>
+        when(col("z") === z, lit(zoomRadius(z))).otherwise(acc)
+      }
+
     val tf = index.allTileFeatures
     tiles.join(tf, tiles("z") === tf("z") && tiles("tx") === tf("x") &&
         tiles("ty") === tf("y"))
@@ -44,8 +64,8 @@ object Reverse {
       .withColumn("direct_hit", pipUdf(col("geometry"), col("lon"), col("lat")))
       .withColumn("dist_miles",
         when(col("direct_hit"), lit(0.0)).otherwise(
-          haversineMilesCol(col("lon"), col("lat"), col("f_lon"), col("f_lat"))))
-      .where(col("direct_hit") || col("dist_miles") <= radiusMiles)
+          geomDistUdf(col("geometry"), col("lon"), col("lat"))))
+      .where(col("direct_hit") || col("dist_miles") <= radiusCol)
       .withColumn("pick",
         row_number().over(Window
           .partitionBy((keys :+ "idx").map(col): _*)
@@ -57,7 +77,7 @@ object Reverse {
   }
 
   def reverse(spark: SparkSession, index: CarmenIndex, points: DataFrame,
-              radiusMiles: Double = 48.0): DataFrame = {
+              radiusMiles: Double = 0.0): DataFrame = {
     val pts = points.select(col("query_id").cast("long"), col("lon"), col("lat"))
     val all = picks(pts, index, Seq("query_id"), radiusMiles)
     all.withColumn("display", substring_index(col("text"), ",", 1))

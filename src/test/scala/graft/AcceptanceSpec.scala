@@ -82,4 +82,62 @@ class AcceptanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.length >= 2, s"both directions returned: $res")
     assert(res.head._5 === 4 && res.head._4 === 2L, s"first is poi.2: $res")
   }
+
+  // --- gappy stacking fixtures (reference geocode-unit.gappy.test.js) ---
+  private var gappy: IndexBuilder.CarmenIndex = _
+
+  private def buildGappy(): IndexBuilder.CarmenIndex = {
+    val sp = spark
+    def docs(d: GeoDoc*) = sp.createDataset(d)(org.apache.spark.sql.Encoders.product[GeoDoc])
+    val mp = """{"type":"MultiPoint","coordinates":[[0,0],[14.0625,-2.8079929095776683]]}"""
+    val p2 = """{"type":"Point","coordinates":[14.0625,-2.8079929095776683]}"""
+    IndexBuilder.build(spark, Seq(
+      (LayerConfig("province", idx = 0, zoom = 6, typ = "region"),
+        docs(GeoDoc(1, "new york, ny", 0, mp, 0, 0))),
+      (LayerConfig("city", idx = 1, zoom = 6, typ = "place"),
+        docs(GeoDoc(1, "new york, ny", 0, pt, 0, 0),
+          GeoDoc(2, "tonawanda", 0, p2, 14.0625, -2.8079929095776683))),
+      (LayerConfig("street", idx = 2, zoom = 6, typ = "street",
+        geocoderAddress = true),
+        docs(GeoDoc(1, "west st", 0, pt, 0, 0),
+          GeoDoc(2, "west st", 0, p2, 14.0625, -2.8079929095776683)))))
+  }
+
+  private def fwg(q: String): Seq[(Int, Double, String, Long, Int)] = {
+    if (gappy == null) gappy = buildGappy()
+    val sp = spark; import sp.implicits._
+    val queries = Seq((1L, q)).toDF("query_id", "query")
+    Forward.forward(spark, gappy, queries)
+      .select(col("rank"), col("relev"), col("place_name"), col("feature_id"),
+        col("lead_idx"))
+      .as[(Int, Double, String, Long, Int)].collect().toSeq.sortBy(_._1)
+  }
+
+  test("gappy: west st tonawanda ny") {
+    val res = fwg("west st tonawanda ny")
+    assert(res.head._3 === "west st, tonawanda, new york", s"got $res")
+  }
+
+  test("gappy: west st new york ny") {
+    val res = fwg("west st new york ny")
+    assert(res.head._3 === "west st, new york, new york", s"got $res")
+  }
+
+  test("gappy: new york -> province.1") {
+    val res = fwg("new york")
+    assert(res.head._3 === "new york", s"got $res")
+    assert(res.head._5 === 0 && res.head._4 === 1L, s"province.1 first: $res")
+  }
+
+  test("gappy: new york new york -> city.1") {
+    val res = fwg("new york new york")
+    assert(res.head._3 === "new york, new york", s"got $res")
+    assert(res.head._5 === 1 && res.head._4 === 1L, s"city.1 first: $res")
+  }
+
+  test("gappy: ny ny -> city.1") {
+    val res = fwg("ny ny")
+    assert(res.head._3 === "new york, new york", s"got $res")
+    assert(res.head._5 === 1 && res.head._4 === 1L, s"city.1 first: $res")
+  }
 }
