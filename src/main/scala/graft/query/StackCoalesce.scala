@@ -121,8 +121,13 @@ object StackCoalesce {
         }
       }
     }
-    results.sortBy(r => (-r.relev, -r.scoredist, r.covers.head.id24))
-      .take(cap).toVector
+    // ties break by descending packed grid value (y, x, id) — the legacy
+    // gridstore ordering observable in the reference's proximity fixtures
+    // (country.2 at y=1 sorts before country.1 at y=0)
+    results.sortBy { r =>
+      val c = r.covers.head
+      (-r.relev, -r.scoredist, -((c.y.toLong << 34) | (c.x.toLong << 20) | c.id24))
+    }.take(cap).toVector
   }
 
   private def better(a: GridRow, b: GridRow): Boolean =
@@ -201,8 +206,11 @@ object StackCoalesce {
     val stacks = stackable(pms)
     val all = stacks.flatMap(s => coalesceStack(s, proximity, bbox, cap = 4))
       .map(r => rebalance(queryLength, r))
-      .sortBy(r => (-r.relev, -r.scoredist,
-        r.covers.head.idx, -avgIdx(r), r.covers.head.id24))
+      .sortBy { r =>
+        val c = r.covers.head
+        (-r.relev, -r.scoredist, c.idx, -avgIdx(r),
+          -((c.y.toLong << 34) | (c.x.toLong << 20) | c.id24))
+      }
 
     val doneAsc = mutable.HashSet.empty[Long]
     val doneDesc = mutable.HashSet.empty[Long]

@@ -140,4 +140,62 @@ class AcceptanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.head._3 === "new york, new york", s"got $res")
     assert(res.head._5 === 1 && res.head._4 === 1L, s"city.1 first: $res")
   }
+
+  // --- proximity fixtures (reference geocode-unit.proximity.test.js) ----
+  private var prox: IndexBuilder.CarmenIndex = _
+
+  private def buildProx(): IndexBuilder.CarmenIndex = {
+    val sp = spark
+    def docs(d: GeoDoc*) = sp.createDataset(d)(org.apache.spark.sql.Encoders.product[GeoDoc])
+    def p(lon: Double, lat: Double) = s"""{"type":"Point","coordinates":[$lon,$lat]}"""
+    IndexBuilder.build(spark, Seq(
+      (LayerConfig("country", idx = 0, zoom = 1, typ = "country"),
+        docs(GeoDoc(1, "country", 0, p(-100, 60), -100, 60),
+          GeoDoc(2, "country", 0, p(-60, -20), -60, -20),
+          GeoDoc(3, "province", 0, p(145, 70), 145, 70))),
+      (LayerConfig("province", idx = 1, zoom = 6, typ = "region"),
+        docs(GeoDoc(1, "province", 0, p(-80, 40), -80, 40),
+          GeoDoc(2, "fakeprov", 0, p(-100, 60), -100, 60),
+          GeoDoc(3, "fakeprov", 0, p(-60, -20), -60, -20)))))
+  }
+
+  private def fwp(q: String, proximity: Option[(Double, Double)] = None)
+      : Seq[(Int, Double, String, Long, Int)] = {
+    if (prox == null) prox = buildProx()
+    val sp = spark; import sp.implicits._
+    val queries = Seq((1L, q)).toDF("query_id", "query")
+    Forward.forward(spark, prox, queries, Forward.Options(proximity = proximity))
+      .select(col("rank"), col("relev"), col("place_name"), col("feature_id"),
+        col("lead_idx"))
+      .as[(Int, Double, String, Long, Int)].collect().toSeq.sortBy(_._1)
+  }
+
+  test("proximity: forward without proximity prefers country.2 (grid order)") {
+    val res = fwp("country")
+    assert(res.head._4 === 2L && res.head._5 === 0, s"country.2 first: $res")
+    assert(res.head._2 === 1.0)
+  }
+
+  test("proximity: [-60,-20] keeps country.2") {
+    val res = fwp("country", Some((-60.0, -20.0)))
+    assert(res.head._4 === 2L, s"country.2 first: $res")
+    assert(res.head._2 === 1.0)
+  }
+
+  test("proximity: [-100,60] flips to country.1") {
+    val res = fwp("country", Some((-100.0, 60.0)))
+    assert(res.head._4 === 1L, s"country.1 first: $res")
+    assert(res.head._2 === 1.0)
+  }
+
+  test("proximity: 'province' without proximity prefers lower typeindex (country.3)") {
+    val res = fwp("province")
+    assert(res.head._4 === 3L && res.head._5 === 0, s"country.3 first: $res")
+    assert(res.head._2 === 1.0)
+  }
+
+  test("proximity: 'province' near [-80,40] flips to province.1 across layers") {
+    val res = fwp("province", Some((-80.0, 40.0)))
+    assert(res.head._4 === 1L && res.head._5 === 1, s"province.1 first: $res")
+  }
 }
