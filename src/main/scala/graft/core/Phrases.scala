@@ -26,17 +26,44 @@ object Phrases {
   /** getMinimalIndexableText (reference termops.js:555-604), no-replacer path:
     * tokenized synonym texts used for corpus frequency counting.
     */
-  def minimalIndexableText(text: String): Vector[Vector[String]] = {
+  def minimalIndexableText(text: String): Vector[Vector[String]] =
+    minimalIndexableTextFull(SimpleReplacer(Map.empty), Vector.empty,
+      Vector.empty, text)
+
+  /** getMinimalIndexableText with replacers (reference termops.js:555-604):
+    * one token list per distinct synonym after query-style replacement, with
+    * housenum-range expansion.
+    */
+  def minimalIndexableTextFull(simpleReplacer: SimpleReplacer,
+                               complexQueryReplacer: Vector[ReplaceRule],
+                               globalReplacer: Vector[ReplaceRule],
+                               defaultText: String,
+                               langTexts: Seq[(String, String)] = Nil,
+                               housenumRange: Vector[String] = Vector.empty): Vector[Vector[String]] = {
     val uniq = mutable.LinkedHashSet.empty[String]
     val out = mutable.ArrayBuffer.empty[Vector[String]]
-    text.split(",", -1).foreach { syn =>
-      val tokens = TextNormalize.tokenize(syn).tokens.filter(_.nonEmpty)
+    def add(tokens: Vector[String]): Unit = {
+      val key = tokens.mkString(" ")
+      if (tokens.nonEmpty && !uniq.contains(key)) {
+        uniq += key
+        out += tokens
+      }
+    }
+    val texts = defaultText.split(",", -1).toVector ++
+      langTexts.flatMap(_._2.split(",", -1))
+    for (text0 <- texts) {
+      val text =
+        if (globalReplacer.nonEmpty)
+          TokenReplace.replaceGlobalTokens(globalReplacer, text0).trim
+        else text0
+      val tokenized = TokenReplace.replaceToken(complexQueryReplacer,
+        TextNormalize.tokenize(text))
+      val tokens = simpleReplacer(tokenized.tokens).filter(_.nonEmpty)
       if (tokens.nonEmpty) {
-        val key = tokens.mkString(" ")
-        if (!uniq.contains(key)) {
-          uniq += key
-          out += tokens
-        }
+        if (housenumRange.nonEmpty) {
+          var l = housenumRange.length - 1
+          while (l >= 0) { add(housenumRange(l) +: tokens); l -= 1 }
+        } else add(tokens)
       }
     }
     out.toVector
@@ -83,14 +110,19 @@ object Phrases {
       ender: Boolean,
       relev: Double,
       addressPos: Option[Int] = None,
-      numberOrder: Option[String] = None
+      numberOrder: Option[String] = None,
+      addressNumber: Option[String] = None
   )
 
-  /** permutations(terms, weights, all, frequentWords). */
+  /** permutations(terms, weights, all, frequentWords). `addressPosition` /
+    * `addressNumber` mirror the reference's `terms.address` attachment from
+    * numTokenize (termops.js:855-858).
+    */
   def permutations(terms: Vector[String], weights: Option[Vector[Double]],
                    all: Boolean, reduceRelevance: Boolean = false,
                    frequentWords: Set[String] = Set.empty,
-                   addressPosition: Option[Int] = None): Vector[Perm] = {
+                   addressPosition: Option[Int] = None,
+                   addressNumber: Option[String] = None): Vector[Perm] = {
     val length = terms.length
     val minRelevance = 0.8
     val masks =
@@ -134,7 +166,8 @@ object Phrases {
           }
         } else numberOrder = None
       }
-      Perm(permTerms, mask, ender, permRelev, addr, numberOrder)
+      Perm(permTerms, mask, ender, permRelev, addr, numberOrder,
+        if (addr.isDefined) addressNumber else None)
     }
   }
 
@@ -166,38 +199,108 @@ object Phrases {
     out.result()
   }
 
-  /** getIndexableText (reference termops.js:388-540), v1 path: synonyms of
-    * carmen:text (+ per-language texts), no replacers/intersections. Each
-    * synonym yields one variant; languages accumulate per distinct text.
-    */
+  /** getIndexableText, no-replacer convenience (round-1 v1 path). */
   def getIndexableText(defaultText: String,
                        langTexts: Map[String, String] = Map.empty,
-                       autoPopulate: Vector[String] = Vector.empty): Vector[IndexableText] = {
-    // text -> languages (insertion-ordered)
+                       autoPopulate: Vector[String] = Vector.empty): Vector[IndexableText] =
+    getIndexableTextFull(SimpleReplacer(Map.empty), Vector.empty, Vector.empty,
+      defaultText, langTexts.toVector.sortBy(_._1), autoPopulate)
+
+  /** getIndexableText with replacers (reference termops.js:388-540): global
+    * replacement, complex-replacer variant enumeration, simple replacement,
+    * intersection and housenum-range key expansion, language accumulation.
+    *
+    * @param langTexts property-order (lang, text) pairs; lang may be
+    *                  "universal" (treated as language "all")
+    * @param intersections output of [[AddressTokens.getIntersectionText]]
+    * @param housenumRange output of [[AddressTokens.getHousenumRangeV3]]
+    */
+  def getIndexableTextFull(simpleReplacer: SimpleReplacer,
+                           complexReplacer: Vector[ReplaceRule],
+                           globalReplacer: Vector[ReplaceRule],
+                           defaultText: String,
+                           langTexts: Seq[(String, String)] = Nil,
+                           defaultLanguages: Seq[String] = Nil,
+                           categories: Set[String] = Set.empty,
+                           intersections: Vector[String] = Vector.empty,
+                           housenumRange: Vector[String] = Vector.empty): Vector[IndexableText] = {
+    val langKeys = ("default" +: langTexts.map(_._1)).toSet
+    val autoPopulate = defaultLanguages.filterNot(langKeys.contains)
+
+    // synonym text -> accumulated languages (insertion order)
     val texts = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[String]]
     val hashes = mutable.HashMap.empty[String, Int]
-    val allLang = ("default" -> defaultText) +: langTexts.toVector.sortBy(_._1)
-    for ((lang, prop) <- allLang; text <- prop.split(",", -1)) {
-      hashes(text) = Murmur3.phraseHash(text)
-      val langs = texts.getOrElseUpdate(text, mutable.ArrayBuffer.empty)
-      langs += lang
-      if (lang == "default") autoPopulate.foreach(langs += _)
-    }
-    val out = Vector.newBuilder[IndexableText]
-    val seenKeys = mutable.LinkedHashMap.empty[String, (mutable.LinkedHashSet[String], Int)]
-    for ((rawText, langs) <- texts) {
-      val text = rawText.trim
-      val tokens = TextNormalize.normalizeQuery(TextNormalize.tokenize(text)).tokens
-      if (tokens.nonEmpty) {
-        val key = tokens.mkString(" ")
-        val (set, _) = seenKeys.getOrElseUpdate(key,
-          (mutable.LinkedHashSet.empty[String], hashes(rawText)))
-        langs.foreach(set += _)
+    for ((langKey, prop) <- ("default" -> defaultText) +: langTexts.toVector) {
+      val synonyms = prop.split(",", -1)
+      var i = 0
+      while (i < synonyms.length) {
+        val text = synonyms(i)
+        hashes(text) = Murmur3.phraseHash(text)
+        val lang =
+          if (langKey == "universal" || (i > 0 && categories.contains(text))) "all"
+          else langKey
+        val buf = texts.getOrElseUpdate(text, mutable.ArrayBuffer.empty)
+        buf += lang
+        if (lang == "default" && autoPopulate.nonEmpty) autoPopulate.foreach(buf += _)
+        i += 1
       }
     }
-    for ((key, (langSet, hash)) <- seenKeys)
-      out += IndexableText(key.split(" ", -1).toVector, langSet.toVector, hash,
-        reduceRelevance = false)
+
+    val indexableText = mutable.LinkedHashMap.empty[String, mutable.LinkedHashSet[String]]
+    val indexableHashes = mutable.HashMap.empty[String, Int]
+    val indexableReduce = mutable.HashMap.empty[String, Boolean]
+    // accumulates across synonym entries, as in the reference (termops.js:392)
+    val intersectionText = mutable.ArrayBuffer.empty[Vector[String]]
+
+    for ((rawText, langs) <- texts) {
+      var text = rawText.trim
+      if (globalReplacer.nonEmpty)
+        text = TokenReplace.replaceGlobalTokens(globalReplacer, text).trim
+
+      if (intersections.nonEmpty) {
+        var l = intersections.length - 1
+        while (l >= 0) {
+          val ivariants = TokenReplace.enumerateTokenReplacements(complexReplacer,
+            TextNormalize.tokenize(intersections(l)))
+          for (iv <- ivariants if !iv.reduceRelevance) {
+            val encoded = TextNormalize.normalizeQuery(
+              TextNormalize.tokenize(iv.phrase)).tokens
+            val itoks = simpleReplacer(encoded)
+            // '+' is a separator, so re-mark the intersection head and tail
+            intersectionText += (("+intersection" +: itoks.drop(1)) :+ ",")
+          }
+          l -= 1
+        }
+      }
+
+      val variants = TokenReplace.enumerateTokenReplacements(complexReplacer,
+        TextNormalize.tokenize(text))
+      for (variant <- variants) {
+        val encoded = TextNormalize.normalizeQuery(
+          TextNormalize.tokenize(variant.phrase)).tokens
+        val tokens = simpleReplacer(encoded)
+        if (tokens.nonEmpty) {
+          val keys = mutable.ArrayBuffer(tokens.mkString(" "))
+          for (it <- intersectionText) keys += (it ++ tokens).mkString(" ")
+          var l = housenumRange.length - 1
+          while (l >= 0) {
+            keys += (housenumRange(l) +: tokens).mkString(" ")
+            l -= 1
+          }
+          for (key <- keys) {
+            val set = indexableText.getOrElseUpdate(key, mutable.LinkedHashSet.empty)
+            langs.foreach(set += _)
+            if (!indexableReduce.contains(key)) indexableReduce(key) = variant.reduceRelevance
+            if (!indexableHashes.contains(key)) indexableHashes(key) = hashes(rawText)
+          }
+        }
+      }
+    }
+
+    val out = Vector.newBuilder[IndexableText]
+    for ((key, langSet) <- indexableText)
+      out += IndexableText(key.split(" ", -1).toVector, langSet.toVector,
+        indexableHashes(key), indexableReduce(key))
     out.result()
   }
 
