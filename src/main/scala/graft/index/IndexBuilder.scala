@@ -32,8 +32,18 @@ object IndexBuilder {
       postings: DataFrame,     // phrase, phrase_id, lang_set, relev, score3, id24, x, y, phrase_hash
       tileFeatures: DataFrame, // z, x, y, id, id24, text, score, center_lon/lat, geometry
       scorefactor: Double,     // max score of the layer (3-bit decode factor)
-      deletes: DataFrame       // variant, phrase, layer (fuzzy candidates)
+      deletes: DataFrame,      // variant, phrase, layer (fuzzy candidates)
+      prefixes: DataFrame      // pfx, pfx_len, phrase, layer (autocomplete keys)
   )
+
+  /** Max indexed prefix length: longer query prefixes equi-join on their
+    * first [[MaxPrefixLen]] chars and finish with a residual startsWith
+    * filter. The bounded-length prefix table is the distributed analog of
+    * the reference's sorted-phrase prefix ranges
+    * (reference docs/index-structure.md:10-12) — an equi-joinable key
+    * instead of a binary-searchable FST.
+    */
+  val MaxPrefixLen = 6
 
   final case class CarmenIndex(layers: Vector[LayerIndex]) {
     def layer(name: String): LayerIndex = layers.find(_.config.name == name).get
@@ -58,6 +68,9 @@ object IndexBuilder {
     /** Union of all layers' fuzzy delete-variant tables. */
     lazy val allDeletes: DataFrame =
       layers.map(_.deletes).reduce(_ unionByName _)
+    /** Union of all layers' autocomplete prefix tables. */
+    lazy val allPrefixes: DataFrame =
+      layers.map(_.prefixes).reduce(_ unionByName _)
   }
 
   private val coverUdf = udf((geojson: String, zoom: Int) => {
@@ -118,10 +131,31 @@ object IndexBuilder {
         .toDF("layer", "phrase", "lang_set", "relev", "score3", "id24", "x", "y",
           "phrase_hash")
 
-      // 4. phrase ids: dense rank over lexicographic phrase order (S7 analog)
+      // 4. phrase ids: lexicographically dense ids (S7 analog, reference
+      // lib/indexer/index.js:221-225) WITHOUT a global single-partition
+      // window: range-partition the distinct phrases, rank within each
+      // partition, then add per-partition offsets (one tiny collect of
+      // partition counts). Scales to any vocabulary.
+      val distinctPhrases = postingsDs.select(col("phrase")).distinct()
+      val idParts = math.max(2, spark.sparkContext.defaultParallelism / 2)
+      val rankedLocal = distinctPhrases
+        .repartitionByRange(idParts, col("phrase"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("local_rank", row_number().over(
+          Window.partitionBy(col("pid")).orderBy(col("phrase"))))
+        .localCheckpoint()
+      val counts = rankedLocal.groupBy(col("pid"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
+        (pid, acc + n)
+      }.tail.zip(counts).map { case ((pid, end), (_, n)) => (pid, end - n) }
+      val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "offset")
+      val phraseIndex = rankedLocal
+        .join(broadcast(offsetsDf), Seq("pid"))
+        .select(col("phrase"), (col("offset") + col("local_rank")).as("phrase_id"))
       val postings = postingsDs
-        .withColumn("phrase_id",
-          dense_rank().over(Window.orderBy(col("phrase"))).cast("long"))
+        .join(phraseIndex, Seq("phrase"))
         .cache()
 
       // 5. tile_features: explode covers (S8)
@@ -140,15 +174,26 @@ object IndexBuilder {
         .withColumnRenamed("centerLat", "center_lat")
 
       // 6. symmetric-delete fuzzy candidate table (P6): variant -> phrase
-      val deletes = postings.select(col("phrase")).distinct()
+      val deletes = distinctPhrases
         .as[String]
         .flatMap(p => Fuzzy.phraseVariants(p).map(v => (v, p)))
         .toDF("variant", "phrase")
         .withColumn("layer", lit(cfg.name))
         .cache()
 
+      // 7. bounded-length prefix keys for autocomplete (P1 prefix branch):
+      // (pfx, pfx_len) is an equi-join key — no nested-loop prefix scan
+      val prefixes = distinctPhrases
+        .as[String]
+        .flatMap { p =>
+          (1 to math.min(MaxPrefixLen, p.length)).map(l => (p.substring(0, l), l, p))
+        }
+        .toDF("pfx", "pfx_len", "phrase")
+        .withColumn("layer", lit(cfg.name))
+        .cache()
+
       LayerIndex(cfg, features, postings, tileFeatures, math.max(maxScore, 0.0),
-        deletes)
+        deletes, prefixes)
     }
     CarmenIndex(built.toVector)
   }

@@ -97,17 +97,29 @@ object Forward {
     // previously cached plans (measured 10s -> 27s per call)
     val subs = subqueries(spark, queries).localCheckpoint()
 
-    // 2. phrasematch joins: exact + (strict) prefix for autocomplete enders
+    // 2. phrasematch joins: exact + (strict) prefix for autocomplete enders.
+    // The prefix branch equi-joins on bounded-length prefix keys (the
+    // distributed analog of the reference's sorted phrase_id_range,
+    // docs/index-structure.md:10-12) with a residual startsWith filter for
+    // prefixes longer than the key — no nested-loop scan of the postings.
     val postings = index.allPostings
     val exact = postings.join(subs, postings("phrase") === subs("subquery"))
       .withColumn("is_prefix", lit(false))
     val withPrefix =
       if (!opts.autocomplete) exact
-      else exact.unionByName(
-        postings.join(subs.where(col("ender")),
-          postings("phrase").startsWith(subs("subquery")) &&
-            postings("phrase") =!= subs("subquery"))
-          .withColumn("is_prefix", lit(true)))
+      else {
+        val maxPfx = graft.index.IndexBuilder.MaxPrefixLen
+        val pfxSubs = subs.where(col("ender"))
+          .withColumn("pfx", substring(col("subquery"), 1, maxPfx))
+          .withColumn("pfx_len", least(length(col("subquery")), lit(maxPfx)))
+        val cand = index.allPrefixes.join(pfxSubs, Seq("pfx", "pfx_len"))
+          .where(col("phrase").startsWith(col("subquery")) &&
+            col("phrase") =!= col("subquery"))
+          .drop("pfx", "pfx_len")
+        val prefixMatched = postings.join(cand, Seq("layer", "phrase"))
+          .withColumn("is_prefix", lit(true))
+        exact.unionByName(prefixMatched.select(exact.columns.map(col): _*))
+      }
 
     // fuzzy branch (P6): symmetric-delete candidate join + DL<=1 verify +
     // levenshtein-ratio weight penalty (reference phrasematch.js:328-345)
@@ -194,9 +206,11 @@ object Forward {
       lit(-1L).as("featureId"), lit(0.0).as("lon"), lit(0.0).as("lat"),
       lit("").as("display"))
 
-    // lead rows (kind 2): pos==0 cover joined to its feature
+    // lead rows (kind 2): pos==0 cover joined to its feature on the
+    // (idx, id24) key — a plain equi-join so AQE broadcasts small layers
+    // and shuffles big ones (address/POI layers cannot broadcast at scale)
     val leadJoined = exploded.where(col("pos") === 0)
-      .join(broadcast(featuresAll),
+      .join(featuresAll,
         exploded("idx") === featuresAll("f_idx") &&
           exploded("id24") === featuresAll("f_id24"), "left")
     val leadRows = leadJoined.select(col("query_id"), col("position"),
