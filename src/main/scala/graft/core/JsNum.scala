@@ -25,6 +25,28 @@ object JsNum {
     jsRound(value * p) / p
   }
 
+  /** JS parseInt(s, 10): leading optional sign + digits; NaN if none. */
+  def parseIntPrefix(s: String): Double = {
+    val t = s.trim
+    var i = 0
+    var sign = 1
+    if (i < t.length && (t.charAt(i) == '+' || t.charAt(i) == '-')) {
+      if (t.charAt(i) == '-') sign = -1
+      i += 1
+    }
+    val start = i
+    while (i < t.length && t.charAt(i).isDigit) i += 1
+    if (i == start) Double.NaN
+    else sign * t.substring(start, i).toDouble
+  }
+
+  /** JS Number(s) coercion: full-string numeric parse; NaN otherwise. */
+  def jsNumber(s: String): Double = {
+    val t = s.trim
+    if (t.isEmpty) 0.0
+    else try t.toDouble catch { case _: NumberFormatException => Double.NaN }
+  }
+
   /** `parseFloat(x.toFixed(1))` as used by grid decode
     * (reference lib/util/grid.js:35). Inputs are small non-negative values
     * (0.4/0.6/0.8/1.0) so simple half-even at 1 decimal is exact; we use the
