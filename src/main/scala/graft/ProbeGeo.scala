@@ -34,7 +34,7 @@ object ProbeGeo {
         (pmod(col("id"), lit(names.length)) + 1).cast("int")).as("query"))
 
     val subs = time("subqueries") {
-      val s = query.Forward.subqueries(spark, qs).cache(); s.count(); s
+      val s = query.Forward.subqueries(spark, qs, Vector(query.Forward.QueryGroup("", graft.index.IndexBuilder.replacersFor(PageSynth.layerConfigs.head), geocoderAddress = false, "")), proximityDefined = false).cache(); s.count(); s
     }
     val postings = index.allPostings
     val exact = time("exact_join") {
@@ -49,7 +49,7 @@ object ProbeGeo {
       import spark.implicits._
       val qv = subs.as[query.Forward.SubQ].flatMap { s =>
         graft.core.Fuzzy.phraseVariants(s.subquery).map(v =>
-          query.Forward.FuzzVar(s.queryId, s.subquery, s.mask, s.ender, s.weight, s.qlen, v))
+          query.Forward.FuzzVar(s.queryId, s.subquery, s.mask, s.ender, s.weight, s.qlen, s.qsig, v))
       }.toDF()
       println(index.allDeletes.join(qv, Seq("variant"))
         .where(col("phrase") =!= col("subquery")).count())

@@ -257,6 +257,32 @@ object SparkEntry {
         col("relev"), col("score3"), col("id24"), col("x"), col("y"))
     }),
 
+    "geocode_address" -> ((s, _) => {
+      import s.implicits._
+      // address-cluster + TIGER-range layer: resolution via
+      // AddressCluster.forward / AddressItp.forward (rows-only check;
+      // correctness carried by AddressSpec/AddressAcceptanceSpec goldens)
+      val docs = s.createDataset(Seq(
+        graft.model.GeoDoc(1, "fake street", 0,
+          """{"type":"GeometryCollection","geometries":[{"type":"MultiPoint","coordinates":[[0.001,0.001],[0.002,0.002],[0.003,0.003]]}]}""",
+          0.001, 0.001, addressnumber = Seq(Seq("9b", "10c", "7"))),
+        graft.model.GeoDoc(3, "interp road", 0,
+          """{"type":"GeometryCollection","geometries":[{"type":"MultiLineString","coordinates":[[[0.0,0.0],[0.008,0.0]]]}]}""",
+          0.004, 0.0, rangetype = "tiger",
+          lfromhn = Seq(Seq("2")), ltohn = Seq(Seq("98")),
+          rfromhn = Seq(Seq("1")), rtohn = Seq(Seq("99")),
+          parityl = Seq(Seq("E")), parityr = Seq(Seq("O")))))
+      val index = graft.index.IndexBuilder.build(s, Seq(
+        (graft.model.LayerConfig("address", idx = 0, zoom = 6, typ = "address",
+          geocoderAddress = true), docs)))
+      val qs = Seq((1L, "9b fake street"), (2L, "10c fake street"),
+        (3L, "51 interp road"), (4L, "124 fake street"))
+        .toDF("query_id", "query")
+      graft.query.Forward.forward(s, index, qs)
+        .select(col("query_id"), col("rank"), col("relev"), col("place_name"),
+          col("center_lon"), col("center_lat"))
+    }),
+
     "geocode_fuzzy" -> ((s, _) => {
       import s.implicits._
       val index = GeoIndexCache.get(s)

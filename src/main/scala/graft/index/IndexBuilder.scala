@@ -77,18 +77,75 @@ object IndexBuilder {
     TileCover.zxy(Geom.fromJson(geojson), zoom)
   })
 
+  /** Per-layer compiled replacers (reference index.js:224-227). */
+  final case class Replacers(
+      simple: SimpleReplacer,
+      complexQuery: Vector[ReplaceRule],
+      complexIndexing: Vector[ReplaceRule],
+      global: Vector[ReplaceRule])
+
+  def replacersFor(cfg: LayerConfig): Replacers = {
+    val (simple, complex) = TokenReplace.categorizeTokenReplacements(cfg.geocoderTokens)
+    Replacers(
+      simple = TokenReplace.createSimpleReplacer(simple),
+      complexQuery = TokenReplace.createComplexReplacer(complex),
+      complexIndexing = TokenReplace.createComplexReplacer(complex,
+        includeUnambiguous = true, includeRelevanceReduction = true),
+      global = TokenReplace.createGlobalReplacer(cfg.globalTokens))
+  }
+
+  /** Doc slice carried into the phrase-enumeration flatMap. */
+  final case class DocCover(
+      id: Long, id24: Long, text: String, score: Double, zxy: Seq[String],
+      addressnumber: Seq[Seq[String]], rangetype: String,
+      lfromhn: Seq[Seq[String]], ltohn: Seq[Seq[String]],
+      rfromhn: Seq[Seq[String]], rtohn: Seq[Seq[String]],
+      intersections: Seq[Seq[String]], langTexts: Map[String, String],
+      numGeometries: Int)
+
+  private def housenumRangeOf(d: DocCover): Vector[String] =
+    AddressTokens.getHousenumRangeV3(
+      d.addressnumber.map(_.toVector).toVector,
+      hasRangeType = d.rangetype.nonEmpty,
+      lfromhn = d.lfromhn.map(_.toVector).toVector,
+      ltohn = d.ltohn.map(_.toVector).toVector,
+      rfromhn = d.rfromhn.map(_.toVector).toVector,
+      rtohn = d.rtohn.map(_.toVector).toVector,
+      numGeometries = d.numGeometries)
+
+  private val numGeomsUdf = udf((geojson: String) =>
+    Geom.fromJson(geojson) match {
+      case Geom.Collection(gs) => gs.length
+      case _ => 0
+    })
+
   def build(spark: SparkSession, layers: Seq[(LayerConfig, Dataset[GeoDoc])]): CarmenIndex = {
     import spark.implicits._
     val built = layers.map { case (cfg, docs) =>
+      val replBc = spark.sparkContext.broadcast(replacersFor(cfg))
       // 1. standardize: tile covers at the layer zoom (I3)
       val withCovers = docs.toDF()
         .withColumn("zxy", coverUdf(col("geometry"), lit(cfg.zoom)))
         .withColumn("id24", pmod(abs(col("id")), lit(1L << 24)))
+        .withColumn("num_geoms", numGeomsUdf(col("geometry")))
         .cache()
 
+      val docCovers = withCovers
+        .select(col("id"), col("id24"), col("text"), col("score"),
+          col("zxy").cast("array<string>"), col("addressnumber"),
+          col("rangetype"), col("lfromhn"), col("ltohn"), col("rfromhn"),
+          col("rtohn"), col("intersections"), col("langTexts"),
+          col("num_geoms").as("numGeometries"))
+        .as[DocCover]
+
       // 2. corpus frequency (I8): distributed hash agg, broadcast result
-      val freqRows = withCovers.select(col("text"), col("score")).as[(String, Double)]
-        .flatMap { case (text, _) => Phrases.minimalIndexableText(text).flatten }
+      // (reference indexdocs.js:68: simple + complex QUERY replacer)
+      val freqRows = docCovers
+        .flatMap { d =>
+          val r = replBc.value
+          Phrases.minimalIndexableTextFull(r.simple, r.complexQuery, r.global,
+            d.text, d.langTexts.toVector.sortBy(_._1), housenumRangeOf(d)).flatten
+        }
         .groupByKey(identity).count().collect()
       val maxScore = withCovers.agg(max(col("score"))).as[Double].head()
       val freq = Phrases.Freq(freqRows.map { case (t, c) => (t, c) }.toMap,
@@ -96,24 +153,31 @@ object IndexBuilder {
       val freqBc = spark.sparkContext.broadcast(freq)
 
       // 3. phrase enumeration + grid assembly (I10/I11/I14), one flatMap
+      // (reference indexdocs.js:83 loadDoc: simple + complex INDEXING replacer)
       val layerName = cfg.name
-      val postingsDs = withCovers
-        .select(col("id"), col("id24"), col("text"), col("score"),
-          col("zxy").cast("array<string>"))
-        .as[(Long, Long, String, Double, Seq[String])]
-        .flatMap { case (id, id24, text, score, zxy) =>
+      val languages = cfg.languages.toVector
+      val categories = cfg.categories
+      val postingsDs = docCovers
+        .flatMap { d =>
           val f = freqBc.value
-          val score3 = GridCodec.encode3BitLogScale(score, f.maxScore)
-          val xy = zxy.flatMap { s =>
+          val r = replBc.value
+          val score3 = GridCodec.encode3BitLogScale(d.score, f.maxScore)
+          val xy = d.zxy.flatMap { s =>
             val parts = s.split("/")
             val x = parts(1).toInt
             val y = parts(2).toInt
             if (x < 0 || y < 0) None else Some((x, y))
           }
+          val texts = Phrases.getIndexableTextFull(r.simple, r.complexIndexing,
+            r.global, d.text, d.langTexts.toVector.sortBy(_._1), languages,
+            categories,
+            intersections = AddressTokens.getIntersectionText(
+              d.intersections.map(_.toVector).toVector),
+            housenumRange = housenumRangeOf(d))
           // per-phrase best relev across text variants (loadDoc semantics)
           val byPhrase = scala.collection.mutable.LinkedHashMap
             .empty[String, (Double, Int, scala.collection.mutable.LinkedHashSet[String])]
-          for (t <- Phrases.getIndexableText(text);
+          for (t <- texts;
                p <- Phrases.getIndexablePhrases(t, f)) {
             val cur = byPhrase.get(p.phrase)
             val entry = cur.getOrElse((p.relev, p.hash,
@@ -126,7 +190,7 @@ object IndexBuilder {
             (phrase, (relev, hash, langs)) <- byPhrase.iterator
             (x, y) <- xy
           } yield (layerName, phrase, langs.toVector.sorted.mkString(","),
-            relev, score3, id24, x, y, hash)
+            relev, score3, d.id24, x, y, hash)
         }
         .toDF("layer", "phrase", "lang_set", "relev", "score3", "id24", "x", "y",
           "phrase_hash")

@@ -127,7 +127,10 @@ object PageSynth {
           first(col("lon")).as("centerLon"), first(col("lat")).as("centerLat"))
         .select(col("id"), col("text"), col("score"), col("geometry"),
           col("centerLon"), col("centerLat"))
-        .as[GeoDoc]
+        .as[(Long, String, Double, String, Double, Double)]
+        .map { case (id, text, score, geom, lon, lat) =>
+          GeoDoc(id, text, score, geom, lon, lat)
+        }
     }.toMap
   }
 

@@ -19,19 +19,45 @@ final case class LayerConfig(
     typ: String,
     stack: Seq[String] = Nil,
     nonOverlapping: Set[Int] = Set.empty,
-    geocoderAddress: Boolean = false
+    geocoderAddress: Boolean = false,
+    geocoderTokens: Seq[(String, graft.core.TokenSpec)] = Nil, // geocoder_tokens
+    globalTokens: Seq[(String, String)] = Nil,                 // global replacers
+    intersectionToken: String = "",      // geocoder_intersection_token
+    languages: Seq[String] = Nil,        // auto-populate language list
+    categories: Set[String] = Set.empty
 ) {
   def ndxKey: String = name
+
+  /** Signature of the query-side text-processing config: layers sharing it
+    * can share one enumerated-subquery set.
+    */
+  def querySignature: String =
+    s"$geocoderAddress|$intersectionToken|${globalTokens.mkString(";")}|" +
+      geocoderTokens.map { case (f, t) => s"$f->$t" }.mkString(";")
 }
 
-/** A geo feature document (carmen doc core). Geometry is GeoJSON text. */
+/** A geo feature document (carmen doc core). Geometry is GeoJSON text.
+  * Address/intersection arrays align with GeometryCollection parts
+  * (reference docs/data-sources.md:54-168); empty inner entries mark the
+  * reference's nulls.
+  */
 final case class GeoDoc(
     id: Long,
     text: String,             // carmen:text (comma-separated synonyms)
     score: Double,            // carmen:score
     geometry: String,         // GeoJSON
     centerLon: Double,        // carmen:center
-    centerLat: Double
+    centerLat: Double,
+    addressnumber: Seq[Seq[String]] = Nil,  // carmen:addressnumber
+    rangetype: String = "",                 // carmen:rangetype
+    lfromhn: Seq[Seq[String]] = Nil,
+    ltohn: Seq[Seq[String]] = Nil,
+    rfromhn: Seq[Seq[String]] = Nil,
+    rtohn: Seq[Seq[String]] = Nil,
+    parityl: Seq[Seq[String]] = Nil,
+    parityr: Seq[Seq[String]] = Nil,
+    intersections: Seq[Seq[String]] = Nil,  // carmen:intersections
+    langTexts: Map[String, String] = Map.empty // lang -> carmen:text_{lang}
 )
 
 /** One phrase posting grid row (flattened gridstore entry). */
@@ -78,7 +104,9 @@ final case class CoverEntry(
     phraseHash: Int,
     zoom: Int,
     text: String,
-    prefix: Boolean
+    prefix: Boolean,
+    addrNum: String = "",
+    partial: Boolean = false
 )
 
 /** One stacked spatial-match result for a query. */

@@ -3,6 +3,7 @@ package graft.query
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core._
+import graft.index.IndexBuilder
 import graft.index.IndexBuilder.CarmenIndex
 import graft.model._
 
@@ -11,14 +12,18 @@ import graft.model._
   * the throughput metric's unit of work.
   *
   * Stages (mirrors reference lib/geocoder/geocode.js:341-493):
-  *  1. tokenize + subquery window enumeration (flatMap; pure port)
-  *  2. phrasematch: subqueries x postings equi-join (exact) + prefix range
-  *     join (autocomplete) — the subquery side is broadcast
+  *  1. tokenize + per-layer-group token replacement + subquery window
+  *     enumeration (flatMap; pure port). Address-capable groups add
+  *     numTokenized and intersection permutations
+  *     (reference phrasematch.js:176-260)
+  *  2. phrasematch: subqueries x postings equi-join (exact) + bounded
+  *     prefix-key equi-join (autocomplete) + symmetric-delete fuzzy join
   *  3. per-query spatialmatch (stackable + coalesce + rebalance) in
   *     flatMapGroups — distributes over queries; grids per query are bounded
   *     by the same caps as the reference
-  *  4. verify-lite + format: covers joined back to feature tables, context
-  *     assembled fine->coarse
+  *  4. verify + format: lead covers joined to features, address-cluster/ITP
+  *     resolution (reference verifymatch.js:397-492), reverse-context fill,
+  *     per-query strict/loose re-rank
   */
 object Forward {
 
@@ -33,29 +38,35 @@ object Forward {
   /** Query-side fuzzy variant row. */
   final case class FuzzVar(queryId: Long, subquery: String, mask: Int,
                            ender: Boolean, weight: Double, qlen: Int,
-                           variant: String)
+                           qsig: String, variant: String)
 
   private val phraseDistUdf = udf((q: String, c: String) =>
     Fuzzy.phraseDistance(q, c).getOrElse(-1))
   private val penaltyUdf = udf((original: String, ed: Int) =>
     Fuzzy.editPenalty(original, ed))
 
-  /** Subquery window row. */
+  /** Subquery window row. addrPos = -1 when the window carries no masked
+    * house number; partial marks a proximity partial-number search.
+    */
   final case class SubQ(queryId: Long, subquery: String, mask: Int,
-                                ender: Boolean, weight: Double, qlen: Int)
+                        ender: Boolean, weight: Double, qlen: Int,
+                        addrPos: Int, addrNum: String, partial: Boolean,
+                        qsig: String)
 
   /** Joined phrasematch grid row (input to per-query spatialmatch). */
   final case class PmRow(queryId: Long, layer: String, subquery: String,
-                                 mask: Int, weight: Double, prefix: Boolean,
-                                 qlen: Int, relev: Double, score3: Int,
-                                 id24: Long, x: Int, y: Int, phraseHash: Int)
+                         mask: Int, weight: Double, prefix: Boolean,
+                         qlen: Int, relev: Double, score3: Int,
+                         id24: Long, x: Int, y: Int, phraseHash: Int,
+                         addrPos: Int, addrNum: String, partial: Boolean)
 
   /** Spatialmatch output row: one result with its covers. */
   final case class ResultRow(queryId: Long, rank: Int, relev: Double,
                              scoredist: Double, covers: Seq[CoverRow])
   final case class CoverRow(idx: Int, layer: String, id24: Long, x: Int, y: Int,
                             zoom: Int, relev: Double, score: Double,
-                            tmpid: Long, mask: Int, text: String)
+                            tmpid: Long, mask: Int, text: String,
+                            addrNum: String, partial: Boolean)
 
   /** Tagged row feeding the per-query verify re-rank (kind: 0=cover,
     * 1=context feature, 2=lead feature). */
@@ -70,53 +81,216 @@ object Forward {
                             feature_id: Long, center_lon: Double,
                             center_lat: Double, lead_idx: Int)
 
-  def subqueries(spark: SparkSession, queries: DataFrame): DataFrame = {
+  /** One query-side text-processing group: layers sharing geocoder_tokens /
+    * address behavior share one enumerated-subquery set.
+    */
+  final case class QueryGroup(qsig: String, replacers: IndexBuilder.Replacers,
+                              geocoderAddress: Boolean, intersectionToken: String)
+
+  private def queryGroups(index: CarmenIndex): Vector[QueryGroup] =
+    index.layers.map(_.config).groupBy(_.querySignature).map { case (sig, cfgs) =>
+      val c = cfgs.head
+      QueryGroup(sig, IndexBuilder.replacersFor(c), c.geocoderAddress,
+        c.intersectionToken)
+    }.toVector
+
+  private val onlyDigits = java.util.regex.Pattern.compile("^\\d+$")
+  private val digitsHash = java.util.regex.Pattern.compile("^[\\d#]+$")
+
+  def subqueries(spark: SparkSession, queries: DataFrame,
+                 groups: Vector[QueryGroup],
+                 proximityDefined: Boolean): DataFrame = {
     import spark.implicits._
+    val groupsBc = spark.sparkContext.broadcast(groups)
     queries.select(col("query_id").cast("long"), col("query").cast("string"))
       .as[(Long, String)]
       .flatMap { case (qid, q) =>
-        val tokens = TextNormalize.normalizeQuery(TextNormalize.tokenize(q)).tokens
-        if (tokens.isEmpty) Iterator.empty
-        else {
-          val qlen = tokens.length
-          Phrases.permutations(tokens, None, all = false).iterator.map { p =>
-            SubQ(qid, p.terms.mkString(" "), p.mask, p.ender,
-              Integer.bitCount(p.mask).toDouble / qlen, qlen)
+        groupsBc.value.iterator.flatMap { g =>
+          val replaced = TokenReplace.replaceToken(g.replacers.complexQuery,
+            TextNormalize.tokenize(q))
+          // simple word replacements apply inside the reference's fuzzy
+          // matcher (carmen-core word_replacements); here, to the query terms
+          val tokens = g.replacers.simple(
+            TextNormalize.normalizeQuery(replaced).tokens)
+          if (tokens.isEmpty) Iterator.empty
+          else {
+            val qlen = tokens.length
+            var partial = false
+            val perms: Vector[Phrases.Perm] =
+              if (!g.geocoderAddress) Phrases.permutations(tokens, None, all = false)
+              else if (qlen > 1) {
+                // housenum-tokenized + intersection perms
+                // (reference phrasematch.js:191-206)
+                var all = Phrases.permutations(tokens, None, all = false)
+                for (v <- AddressTokens.numTokenize(tokens))
+                  all = all ++ Phrases.permutations(v.tokens, None, all = false,
+                    addressPosition = Some(v.position),
+                    addressNumber = Some(v.number))
+                all = AddressTokens.addressPermutations(all)
+                if (g.intersectionToken.nonEmpty)
+                  all = all ++ AddressTokens.intersectionPermutations(tokens,
+                    g.intersectionToken)
+                all
+              } else if (onlyDigits.matcher(tokens.head).matches() && proximityDefined) {
+                // proximity partial-number search (phrasematch.js:207-217)
+                partial = true
+                var all = Phrases.permutations(tokens, None, all = false)
+                for (v <- AddressTokens.numTokenizePrefix(tokens))
+                  all = all ++ Phrases.permutations(v, None, all = false)
+                all
+              } else Phrases.permutations(tokens, None, all = false)
+            perms.iterator
+              // no number-only single-token phrases in address indexes
+              // unless partial-number (phrasematch.js:224-226)
+              .filter(p => !g.geocoderAddress || partial || p.terms.length != 1 ||
+                !digitsHash.matcher(p.terms.head).matches())
+              .map { p =>
+                SubQ(qid, p.terms.mkString(" "), p.mask, p.ender,
+                  Integer.bitCount(p.mask).toDouble / qlen, qlen,
+                  p.addressPos.getOrElse(-1), p.addressNumber.getOrElse(""),
+                  partial, g.qsig)
+              }
           }
         }
       }.toDF()
+  }
+
+  /** Lead cover joined to its feature, pre-address-resolution. */
+  final case class LeadRaw(
+      query_id: Long, position: Int, tmpid: Long, idx: Int, mask: Int,
+      relev: Double, text: String, zoom: Int, smRelev: Double,
+      scoredist: Double, addrNum: String, partial: Boolean,
+      featureId: Long, lon: Double, lat: Double, display: String,
+      fGeometry: String, fAddrnum: Seq[Seq[String]], fRangetype: String,
+      fLfromhn: Seq[Seq[String]], fLtohn: Seq[Seq[String]],
+      fRfromhn: Seq[Seq[String]], fRtohn: Seq[Seq[String]],
+      fParityl: Seq[Seq[String]], fParityr: Seq[Seq[String]],
+      addressLayer: Boolean)
+
+  final case class LeadOut(
+      query_id: Long, position: Int, kind: Int, tmpid: Long, idx: Int,
+      mask: Int, relev: Double, text: String, zoom: Int, smRelev: Double,
+      scoredist: Double, featureId: Long, lon: Double, lat: Double,
+      display: String, addrPenalty: Boolean)
+
+  /** Address-cluster/ITP resolution for one lead feature (reference
+    * verifymatch.js:397-492): exact cluster match, then range interpolation,
+    * then a street-fallback 0.99 relevance penalty; partial-number searches
+    * use prefix matching with a proximity pick.
+    */
+  private def resolveLead(r: LeadRaw,
+                          proximity: Option[(Double, Double)]): LeadOut = {
+    val noPenalty = LeadOut(r.query_id, r.position, 2, r.tmpid, r.idx, r.mask,
+      r.relev, r.text, r.zoom, r.smRelev, r.scoredist, r.featureId, r.lon,
+      r.lat, r.display, addrPenalty = false)
+    val hasAddressData = r.fAddrnum.nonEmpty || r.fRangetype.nonEmpty
+    if (!r.addressLayer || r.featureId < 0 || !hasAddressData) return noPenalty
+    if (r.addrNum.isEmpty && !r.partial) return noPenalty
+
+    val parts: Vector[Geom] = Geom.fromJson(r.fGeometry) match {
+      case Geom.Collection(gs) => gs
+      case _ => Vector.empty
+    }
+    val clusterParts = r.fAddrnum.toVector.zipWithIndex.map { case (nums, k) =>
+      parts.lift(k) match {
+        case Some(Geom.MultiPoint(pts)) =>
+          AddressCluster.Part(nums.toVector, pts, isMultiPoint = true)
+        case _ => AddressCluster.Part(nums.toVector, Vector.empty, isMultiPoint = false)
+      }
+    }
+
+    // the queried number: for partial searches the (single) query token is in
+    // the subquery text; otherwise the numTokenize-captured original token
+    val number = if (r.partial) r.text.split(" ").head else r.addrNum
+
+    val resolved: Option[(Double, Double, String)] =
+      if (r.partial && clusterParts.nonEmpty) {
+        val distFn: (Double, Double) => Double = (lon, lat) => proximity match {
+          case Some((plon, plat)) =>
+            Proximity.distance(plon, plat, lon, lat, 0, 0, r.zoom)
+          case None => 0.0
+        }
+        // partial matches display the matched cluster number
+        // (verifymatch.js:410 via forwardPrefixFiltered's carmen:address)
+        AddressCluster.forwardPrefixFiltered(clusterParts, number, distFn)
+          .map(p => (p._1.lon, p._1.lat, p._1.number))
+      } else {
+        // exact matches display the QUERY's number token: the reference sets
+        // carmen:address = address.number before the lookup
+        // (verifymatch.js:418) and only queens style overrides it
+        val exact = AddressCluster.forward(clusterParts, number).headOption
+          .map(m => (m.lon, m.lat, number))
+        exact.orElse {
+          if (r.fRangetype.nonEmpty) {
+            val itpParts = parts.zipWithIndex.map { case (g, k) =>
+              val lines = g match {
+                case Geom.MultiLineString(ls) => ls
+                case _ => Vector.empty[Vector[(Double, Double)]]
+              }
+              def at(v: Seq[Seq[String]]): Vector[String] =
+                if (k < v.length) v(k).toVector else Vector.empty
+              AddressItp.Part(lines, at(r.fLfromhn), at(r.fLtohn),
+                at(r.fRfromhn), at(r.fRtohn), at(r.fParityl), at(r.fParityr),
+                isMultiLineString = lines.nonEmpty)
+            }
+            AddressItp.forward(itpParts, number)
+              .map(p => (p.lon, p.lat, number))
+          } else None
+        }
+      }
+
+    resolved match {
+      case Some((lon, lat, matchedNum)) =>
+        noPenalty.copy(lon = lon, lat = lat,
+          display = s"$matchedNum ${r.display}")
+      case None =>
+        // street fallback (verifymatch.js:456-460, 489-492)
+        noPenalty.copy(addrPenalty = true)
+    }
   }
 
   def forward(spark: SparkSession, index: CarmenIndex, queries: DataFrame,
               opts: Options = Options()): DataFrame = {
     import spark.implicits._
 
+    val groups = queryGroups(index)
+    val sigOf = index.layers.map(l => l.config.name -> l.config.querySignature).toMap
+
     // localCheckpoint (not cache): materializes once and truncates lineage
     // without registering with the CacheManager — repeated forward() calls
     // with cache() degrade as every new plan is matched against all
     // previously cached plans (measured 10s -> 27s per call)
-    val subs = subqueries(spark, queries).localCheckpoint()
+    val subs = subqueries(spark, queries, groups, opts.proximity.isDefined)
+      .localCheckpoint()
+
+    def tagSig(dfOf: IndexBuilder.LayerIndex => DataFrame): DataFrame =
+      index.layers.map { l =>
+        dfOf(l).withColumn("qsig", lit(l.config.querySignature))
+      }.reduce(_ unionByName _)
 
     // 2. phrasematch joins: exact + (strict) prefix for autocomplete enders.
     // The prefix branch equi-joins on bounded-length prefix keys (the
     // distributed analog of the reference's sorted phrase_id_range,
     // docs/index-structure.md:10-12) with a residual startsWith filter for
     // prefixes longer than the key — no nested-loop scan of the postings.
-    val postings = index.allPostings
-    val exact = postings.join(subs, postings("phrase") === subs("subquery"))
+    val postings = tagSig(_.postings)
+    val exact = postings.join(subs,
+        postings("phrase") === subs("subquery") &&
+          postings("qsig") === subs("qsig"))
+      .drop(postings("qsig")).drop(subs("qsig"))
       .withColumn("is_prefix", lit(false))
     val withPrefix =
       if (!opts.autocomplete) exact
       else {
-        val maxPfx = graft.index.IndexBuilder.MaxPrefixLen
+        val maxPfx = IndexBuilder.MaxPrefixLen
         val pfxSubs = subs.where(col("ender"))
           .withColumn("pfx", substring(col("subquery"), 1, maxPfx))
           .withColumn("pfx_len", least(length(col("subquery")), lit(maxPfx)))
-        val cand = index.allPrefixes.join(pfxSubs, Seq("pfx", "pfx_len"))
+        val cand = tagSig(_.prefixes).join(pfxSubs, Seq("pfx", "pfx_len", "qsig"))
           .where(col("phrase").startsWith(col("subquery")) &&
             col("phrase") =!= col("subquery"))
-          .drop("pfx", "pfx_len")
-        val prefixMatched = postings.join(cand, Seq("layer", "phrase"))
+          .drop("pfx", "pfx_len", "qsig")
+        val prefixMatched = index.allPostings.join(cand, Seq("layer", "phrase"))
           .withColumn("is_prefix", lit(true))
         exact.unionByName(prefixMatched.select(exact.columns.map(col): _*))
       }
@@ -126,11 +300,14 @@ object Forward {
     val matched =
       if (!opts.fuzzy) withPrefix
       else {
-        val qVariants = subs.as[SubQ].flatMap { s =>
-          Fuzzy.phraseVariants(s.subquery).map(v =>
-            FuzzVar(s.queryId, s.subquery, s.mask, s.ender, s.weight, s.qlen, v))
-        }.toDF()
-        val cand = index.allDeletes.join(qVariants, Seq("variant"))
+        val qVariants = subs.as[SubQ]
+          .filter(s => s.addrPos < 0 && !s.partial) // fuzzy on plain windows
+          .flatMap { s =>
+            Fuzzy.phraseVariants(s.subquery).map(v =>
+              FuzzVar(s.queryId, s.subquery, s.mask, s.ender, s.weight, s.qlen,
+                s.qsig, v))
+          }.toDF()
+        val cand = tagSig(_.deletes).join(qVariants, Seq("variant", "qsig"))
           .where(col("phrase") =!= col("subquery"))
           .select(col("layer").as("cand_layer"), col("phrase").as("cand_phrase"),
             col("queryId"), col("subquery"), col("mask"), col("ender"),
@@ -139,9 +316,12 @@ object Forward {
           .withColumn("edit", phraseDistUdf(col("subquery"), col("cand_phrase")))
           .where(col("edit") === 1)
           .withColumn("weight", col("weight") * penaltyUdf(col("subquery"), col("edit")))
-        val fuzzyMatched = postings.join(cand,
-            postings("layer") === cand("cand_layer") &&
-              postings("phrase") === cand("cand_phrase"))
+          .withColumn("addrPos", lit(-1))
+          .withColumn("addrNum", lit(""))
+          .withColumn("partial", lit(false))
+        val fuzzyMatched = index.allPostings.join(cand,
+            index.allPostings("layer") === cand("cand_layer") &&
+              index.allPostings("phrase") === cand("cand_phrase"))
           .drop("cand_layer", "cand_phrase", "edit")
           .withColumn("is_prefix", lit(false))
         withPrefix.unionByName(fuzzyMatched.select(withPrefix.columns.map(col): _*))
@@ -155,7 +335,8 @@ object Forward {
     val pmRows = matched.select(
       col("queryId"), col("layer"), col("subquery"), col("mask"), col("weight"),
       col("is_prefix").as("prefix"), col("qlen"), col("relev"), col("score3"),
-      col("id24"), col("x"), col("y"), col("phrase_hash").as("phraseHash")
+      col("id24"), col("x"), col("y"), col("phrase_hash").as("phraseHash"),
+      col("addrPos"), col("addrNum"), col("partial")
     ).as[PmRow]
 
     val proximity = opts.proximity
@@ -166,31 +347,42 @@ object Forward {
       val (cfgs, ndxs) = cfgBc.value
       val rows = it.toVector
       val qlen = rows.head.qlen
-      val pms = rows.groupBy(r => (r.layer, r.mask, r.subquery, r.prefix, r.weight))
-        .map { case ((layer, mask, subq, pfx, _), grs) =>
+      val pms = rows.groupBy(r => (r.layer, r.mask, r.subquery, r.prefix,
+          r.addrNum, r.partial))
+        .map { case ((layer, mask, subq, pfx, addrNum, partial), grs) =>
           val (cfg, scorefactor) = cfgs(layer)
           StackCoalesce.Pm(layer, cfg.idx, ndxs(layer), cfg.nonOverlapping,
             cfg.zoom, subq, mask, grs.head.weight, pfx,
             math.max(scorefactor, 1.0),
             grs.map(g => StackCoalesce.GridRow(g.x, g.y, g.relev, g.score3,
-              g.id24, g.phraseHash, matchesLanguage = true)).toVector)
+              g.id24, g.phraseHash, matchesLanguage = true)).toVector,
+            addrNum, partial)
         }.toVector
       val sms = StackCoalesce.spatialmatch(qlen, pms, proximity)
       sms.take(limitVerify).zipWithIndex.map { case (sm, i) =>
         ResultRow(qid, i + 1, JsNum.roundTo(sm.relev, 4), sm.scoredist,
           sm.covers.map(c => CoverRow(c.idx, layerOf(cfgs, c.idx), c.id24,
-            c.x, c.y, c.zoom, c.relev, c.score, c.tmpid, c.mask, c.text)))
+            c.x, c.y, c.zoom, c.relev, c.score, c.tmpid, c.mask, c.text,
+            c.addrNum, c.partial)))
       }.iterator
     }.toDF()
       // reused by cover/lead/context branches below — materialize once
       .localCheckpoint()
 
     // 4. verify + format (reference verifymatch.js): join lead covers to
-    // features, reverse-context fill, per-query strict/loose re-rank
+    // features, resolve address numbers, reverse-context fill, per-query
+    // strict/loose re-rank
     val featuresAll = index.layers.map { l =>
       l.features.select(lit(l.config.idx).as("f_idx"), col("id24").as("f_id24"),
         col("id").as("feature_id"), col("text").as("f_text"),
-        col("center_lon"), col("center_lat"))
+        col("center_lon"), col("center_lat"),
+        col("geometry").as("f_geometry"),
+        col("addressnumber").as("f_addrnum"),
+        col("rangetype").as("f_rangetype"),
+        col("lfromhn").as("f_lfromhn"), col("ltohn").as("f_ltohn"),
+        col("rfromhn").as("f_rfromhn"), col("rtohn").as("f_rtohn"),
+        col("parityl").as("f_parityl"), col("parityr").as("f_parityr"),
+        lit(l.config.geocoderAddress).as("f_is_address"))
     }.reduce(_ unionByName _)
 
     val exploded = results.select(col("queryId").as("query_id"),
@@ -199,13 +391,6 @@ object Forward {
       .select(col("query_id"), col("position"), col("smRelev"), col("scoredist"),
         col("pos"), col("cover.*"))
 
-    // cover rows (kind 0)
-    val coverRows = exploded.select(col("query_id"), col("position"),
-      lit(0).as("kind"), col("tmpid"), col("idx"), col("mask"), col("relev"),
-      col("text"), col("zoom"), col("smRelev"), col("scoredist"),
-      lit(-1L).as("featureId"), lit(0.0).as("lon"), lit(0.0).as("lat"),
-      lit("").as("display"))
-
     // lead rows (kind 2): pos==0 cover joined to its feature on the
     // (idx, id24) key — a plain equi-join so AQE broadcasts small layers
     // and shuffles big ones (address/POI layers cannot broadcast at scale)
@@ -213,14 +398,47 @@ object Forward {
       .join(featuresAll,
         exploded("idx") === featuresAll("f_idx") &&
           exploded("id24") === featuresAll("f_id24"), "left")
-    val leadRows = leadJoined.select(col("query_id"), col("position"),
-      lit(2).as("kind"), col("tmpid"), col("idx"), col("mask"), col("relev"),
-      col("text"), col("zoom"), col("smRelev"), col("scoredist"),
+    val emptyNested = lit(array()).cast("array<array<string>>")
+    val leadRaw = leadJoined.select(col("query_id"), col("position"),
+      col("tmpid"), col("idx"), col("mask"), col("relev"), col("text"),
+      col("zoom"), col("smRelev"), col("scoredist"), col("addrNum"),
+      col("partial"),
       coalesce(col("feature_id"), lit(-1L)).as("featureId"),
       coalesce(col("center_lon"), lit(0.0)).as("lon"),
       coalesce(col("center_lat"), lit(0.0)).as("lat"),
-      coalesce(substring_index(col("f_text"), ",", 1), lit("")).as("display"))
+      coalesce(substring_index(col("f_text"), ",", 1), lit("")).as("display"),
+      coalesce(col("f_geometry"), lit("")).as("fGeometry"),
+      coalesce(col("f_addrnum"), emptyNested).as("fAddrnum"),
+      coalesce(col("f_rangetype"), lit("")).as("fRangetype"),
+      coalesce(col("f_lfromhn"), emptyNested).as("fLfromhn"),
+      coalesce(col("f_ltohn"), emptyNested).as("fLtohn"),
+      coalesce(col("f_rfromhn"), emptyNested).as("fRfromhn"),
+      coalesce(col("f_rtohn"), emptyNested).as("fRtohn"),
+      coalesce(col("f_parityl"), emptyNested).as("fParityl"),
+      coalesce(col("f_parityr"), emptyNested).as("fParityr"),
+      coalesce(col("f_is_address"), lit(false)).as("addressLayer"))
+      .as[LeadRaw]
+    val leadOut = leadRaw.map(r => resolveLead(r, proximity)).toDF()
       .localCheckpoint()
+
+    val leadRows = leadOut.select(col("query_id"), col("position"), col("kind"),
+      col("tmpid"), col("idx"), col("mask"), col("relev"), col("text"),
+      col("zoom"), col("smRelev"), col("scoredist"), col("featureId"),
+      col("lon"), col("lat"), col("display"))
+
+    // cover rows (kind 0); the pos==0 cover takes the street-fallback
+    // penalty when its address number failed to resolve
+    val penalties = leadOut.select(col("query_id"), col("position"),
+      col("addrPenalty"))
+    val coverRows = exploded
+      .join(penalties, Seq("query_id", "position"), "left")
+      .select(col("query_id"), col("position"),
+      lit(0).as("kind"), col("tmpid"), col("idx"), col("mask"),
+      when(col("pos") === 0 && coalesce(col("addrPenalty"), lit(false)),
+        col("relev") * 0.99).otherwise(col("relev")).as("relev"),
+      col("text"), col("zoom"), col("smRelev"), col("scoredist"),
+      lit(-1L).as("featureId"), lit(0.0).as("lon"), lit(0.0).as("lat"),
+      lit("").as("display"))
 
     // context rows (kind 1): reverse-lookup of the lead center in every
     // layer coarser than the lead (reference verifymatch.js:542-559)

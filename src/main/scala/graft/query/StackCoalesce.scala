@@ -30,7 +30,9 @@ object StackCoalesce {
       weight: Double,
       prefix: Boolean,
       scorefactor: Double,
-      grids: Vector[GridRow]
+      grids: Vector[GridRow],
+      addrNum: String = "",     // numTokenize-captured house number token
+      partial: Boolean = false  // proximity partial-number search
   )
 
   /** One inverted-index grid row (decoded). */
@@ -162,7 +164,8 @@ object StackCoalesce {
       tmpid = GridCodec.tmpid(pm.idx, g.id24), mask = pm.mask,
       distance = dist, scoredist = scoredist,
       matchesLanguage = g.matchesLanguage, phraseHash = g.phraseHash,
-      zoom = pm.zoom, text = pm.subquery, prefix = pm.prefix)
+      zoom = pm.zoom, text = pm.subquery, prefix = pm.prefix,
+      addrNum = pm.addrNum, partial = pm.partial)
   }
 
   private def tileCenterLon(x: Int, z: Int): Double =

@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.index.IndexBuilder
+import graft.model.{GeoDoc, LayerConfig}
+import graft.query.Forward
+
+/** Ported address acceptance fixtures (reference
+  * test/acceptance/geocode-unit.address-alphanumeric.test.js,
+  * geocode-unit.address-street-fallback.test.js and the ITP cases of
+  * geocode-unit.address-misc.test.js): cluster resolution, interpolation,
+  * and the street-fallback penalty, end to end through the Spark pipeline.
+  */
+class AddressAcceptanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private var index: IndexBuilder.CarmenIndex = _
+
+  private def gcPoints(pts: Seq[(Double, Double)]): String =
+    s"""{"type":"GeometryCollection","geometries":[{"type":"MultiPoint","coordinates":[${
+      pts.map(p => s"[${p._1},${p._2}]").mkString(",")}]}]}"""
+
+  private def gcLine(pts: Seq[(Double, Double)]): String =
+    s"""{"type":"GeometryCollection","geometries":[{"type":"MultiLineString","coordinates":[[${
+      pts.map(p => s"[${p._1},${p._2}]").mkString(",")}]]}]}"""
+
+  private def poly(w: Double, s: Double, e: Double, n: Double): String =
+    s"""{"type":"Polygon","coordinates":[[[$w,$s],[$e,$s],[$e,$n],[$w,$n],[$w,$s]]]}"""
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sp = spark
+    def docs(d: GeoDoc*) = sp.createDataset(d)(org.apache.spark.sql.Encoders.product[GeoDoc])
+    index = IndexBuilder.build(spark, Seq(
+      (LayerConfig("place", idx = 0, zoom = 6, typ = "place"),
+        docs(GeoDoc(1, "Springfield", 10, poly(-0.012, -0.012, 0.014, 0.009), 0.001, -0.001))),
+      (LayerConfig("address", idx = 1, zoom = 6, typ = "address",
+        geocoderAddress = true),
+        docs(
+          GeoDoc(1, "fake street", 0, gcPoints(Seq((0.001, 0.001), (0.002, 0.002), (0.003, 0.003))),
+            0.001, 0.001,
+            addressnumber = Seq(Seq("9B", "10C", "7"))),
+          GeoDoc(2, "beach street", 0, gcPoints(Seq((0.004, 0.004), (0.005, 0.005), (0.006, 0.006))),
+            0.004, 0.004,
+            addressnumber = Seq(Seq("123", "234", "456"))),
+          GeoDoc(3, "interp road", 0, gcLine(Seq((0.0, 0.0), (0.008, 0.0))),
+            0.004, 0.0,
+            rangetype = "tiger",
+            lfromhn = Seq(Seq("2")), ltohn = Seq(Seq("98")),
+            rfromhn = Seq(Seq("1")), rtohn = Seq(Seq("99")),
+            parityl = Seq(Seq("E")), parityr = Seq(Seq("O")))))))
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def fw(q: String): Seq[(Int, Double, String, Double, Double)] = {
+    val sp = spark; import sp.implicits._
+    val queries = Seq((1L, q)).toDF("query_id", "query")
+    Forward.forward(spark, index, queries)
+      .select(col("rank"), col("relev"), col("place_name"),
+        col("center_lon"), col("center_lat"))
+      .as[(Int, Double, String, Double, Double)].collect().toSeq.sortBy(_._1)
+  }
+
+  test("alphanumeric cluster address resolves with the queried number") {
+    val res = fw("9B FAKE STREET")
+    assert(res.nonEmpty)
+    assert(res.head._3.startsWith("9b fake street"), s"got $res")
+    assert(res.head._2 === 1.0, s"got $res")
+    assert(res.head._4 === 0.001 && res.head._5 === 0.001, s"point of 9B: $res")
+  }
+
+  test("second cluster point snaps to its coordinates") {
+    val res = fw("10C fake street")
+    assert(res.head._3.startsWith("10c fake street"), s"got $res")
+    assert(res.head._4 === 0.002 && res.head._5 === 0.002, s"point of 10C: $res")
+  }
+
+  test("working address with place context") {
+    val res = fw("123 beach street Springfield")
+    assert(res.head._3 === "123 beach street, Springfield", s"got $res")
+    assert(res.head._2 === 1.0, s"got $res")
+  }
+
+  test("non-existent number in an indexed waffle falls back to the street") {
+    // 124 -> '1##' matches the indexed range of 123, but no cluster point
+    val res = fw("124 beach street Springfield")
+    assert(res.head._3 === "beach street, Springfield", s"got $res")
+    assert(res.head._2 < 1.0, s"penalized: $res")
+  }
+
+  test("TIGER range interpolates the house number position") {
+    val res = fw("51 interp road")
+    assert(res.head._3 === "51 interp road, Springfield", s"got $res")
+    assert(res.head._2 === 1.0, s"got $res")
+    // odd side 1..99 over x in [0, 0.008]: 51 ~ halfway
+    assert(math.abs(res.head._4 - 0.004) < 0.0012, s"interpolated lon: $res")
+  }
+
+  test("interpolation matches the AddressItp kernel") {
+    val itp = graft.core.AddressItp.forward(Vector(graft.core.AddressItp.Part(
+      lines = Vector(Vector((0.0, 0.0), (0.008, 0.0))),
+      lf = Vector("2"), lt = Vector("98"), rf = Vector("1"), rt = Vector("99"),
+      lp = Vector("E"), rp = Vector("O"))), "51")
+    val res = fw("51 interp road")
+    assert(itp.isDefined)
+    assert(res.head._4 === itp.get.lon && res.head._5 === itp.get.lat,
+      s"pipeline point == kernel point: $res vs $itp")
+  }
+}
