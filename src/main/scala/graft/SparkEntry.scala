@@ -184,11 +184,13 @@ object SparkEntry {
         TextOps.fingerprint(col("text")).as("fp"))),
 
     "dedup_minhash" -> ((s, d) =>
-      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.5)
-        .select(col("id_a"), col("id_b"))),
+      Dedup.minhashLshExactPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5)),
 
+    // maxHamming 3: the 4x16-bit banding guarantees recall only for
+    // hamming <= 3 (any 4-band split of <=3 flipped bits leaves one intact)
     "dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming"))),
 
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -416,6 +418,57 @@ object SparkEntry {
         |      t -> list_contains(['the','and','of','to','in','is','that','with','for','was','on','are','this','it','as','be','at','by','from'], lower(t))))
         |    * 1000000.0 / len(regexp_split_to_array(trim(text), '\s+'))) END AS BIGINT) AS stop_micros
         |FROM documents""".stripMargin,
+
+    "text_langid" -> {
+      def hits(stops: Seq[String]) =
+        s"len(list_filter(toks, x -> list_contains([${stops.map(w => s"'$w'").mkString(",")}], lower(x))))"
+      s"""WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []
+         |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+         |  FROM documents),
+         |v AS (SELECT doc_id,
+         |  ${hits(TextOps.StopEn)} AS en, ${hits(TextOps.StopDe)} AS de,
+         |  ${hits(TextOps.StopFr)} AS fr, ${hits(TextOps.StopEs)} AS es
+         |  FROM t)
+         |SELECT doc_id, CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+         |  WHEN en = greatest(en, de, fr, es) THEN 'en'
+         |  WHEN de = greatest(en, de, fr, es) THEN 'de'
+         |  WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+         |  ELSE 'es' END AS lang_pred
+         |FROM v""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text, CASE WHEN trim(text) = '' THEN []
+        |    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, text, CASE WHEN len(toks) < 3 THEN []
+        |    ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)] END AS s
+        |  FROM t)
+        |SELECT doc_id, CAST(CASE WHEN len(s) = 0
+        |  THEN ('0x' || substr(md5(text), 1, 15))::BIGINT
+        |  ELSE list_reduce(
+        |    list_prepend(0::BIGINT, [('0x' || substr(md5(g), 1, 15))::BIGINT for g in s]),
+        |    (a, b) -> xor(a, b)) END AS BIGINT) AS fp
+        |FROM sh""".stripMargin,
+
+    "dedup_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+        |    for i in range(1, len(t) - 1)]) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id),
+        |common AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS cnt
+        |  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) >= 0.5""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH toks AS (

@@ -61,15 +61,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct()
 
-    // verify candidates against full signatures (broadcast re-attach)
+    // verify candidates against full signatures — plain equi-joins on id:
+    // at scale the signature table exceeds broadcast, so let AQE pick the
+    // join strategy per size
     cand
-      .join(broadcast(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))), "id_a")
-      .join(broadcast(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))), "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / lit(numHashes))
       .where(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** MinHash-LSH candidates verified with EXACT Jaccard over the distinct
+    * word 3-gram shingle sets (candidate generation approximate, verification
+    * exact — the standard production near-dup pipeline). Output is
+    * oracle-checkable wherever banding recall is 1.0 for pairs above the
+    * threshold.
+    */
+  def minhashLshExactPairs(df: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int = 64, rowsPerBand: Int = 4,
+                           threshold: Double = 0.7): DataFrame = {
+    val cand = minhashLshPairs(df, idCol, textCol, numHashes, rowsPerBand,
+      threshold = 0.0).select(col("id_a"), col("id_b"))
+    val inv = df.select(col(idCol).as("id"),
+      explode(array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), 3))).as("s"))
+    val sizes = inv.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(inv.select(col("id").as("id_a"), col("s")), "id_a")
+      .join(inv.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("na") + col("nb") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** SimHash near-dup candidates: equality join on 16-bit bands (4 bands);

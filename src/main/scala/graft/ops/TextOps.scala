@@ -106,13 +106,20 @@ object TextOps {
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
 
-  /** Document fingerprint: xxhash64 over the document's 3-gram shingle set
-    * (order-independent via min/xor combination of shingle hashes —
-    * a winnowing-style rolling fingerprint).
+  /** 60-bit hash of a string both Spark and standard SQL engines can
+    * compute: the first 15 hex digits of its md5.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Document fingerprint: XOR over md5-derived 60-bit hashes of the 3-gram
+    * shingle set (order-independent winnowing-style rolling fingerprint;
+    * md5-based so the fingerprint is engine-portable and oracle-checkable).
     */
   def fingerprint(text: Column): Column = {
     val sh = shingles(tokens(text), 3)
-    when(size(sh) === 0, xxhash64(text)).otherwise(
-      aggregate(transform(sh, s => xxhash64(s)), lit(0L), (acc, h) => acc.bitwiseXOR(h)))
+    when(size(sh) === 0, md5Hash60(text)).otherwise(
+      aggregate(transform(sh, s => md5Hash60(s)), lit(0L),
+        (acc, h) => acc.bitwiseXOR(h)))
   }
 }
