@@ -247,6 +247,14 @@ object SparkEntry {
       graft.query.Reverse.reverse(s, index, pts)
     }),
 
+    "geocode_reverse_knn" -> ((s, _) => {
+      import s.implicits._
+      val index = GeoIndexCache.get(s)
+      val pts = Seq((1L, -74.0, 40.9), (2L, -98.55, 29.95))
+        .toDF("query_id", "lon", "lat")
+      graft.query.Reverse.nearestK(s, index, pts, "street", limit = 3)
+    }),
+
     "geocode_tile_index" -> ((s, _) => {
       val index = GeoIndexCache.get(s)
       index.layers.map(_.tileFeatures.select(col("z"), col("x"), col("y"),

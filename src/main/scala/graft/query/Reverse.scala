@@ -27,6 +27,10 @@ object Reverse {
   private val geomDistUdf = udf((geojson: String, lon: Double, lat: Double) =>
     Geom.distanceMiles(Geom.fromJson(geojson), lon, lat))
 
+  /** distscore as a Column (reference lib/util/proximity.js:192-198). */
+  def distscoreCol(dist: Column, score: Column): Column =
+    round(score * (lit(1000.0) / greatest(dist, lit(35.0))) * lit(1.0e4)) / lit(1.0e4)
+
   /** The reference's vtquery radius: 1000 web-mercator units of a 4096-unit
     * tile at the layer zoom, converted to miles at the equator
     * (reference lib/geocoder/context.js:583).
@@ -39,7 +43,18 @@ object Reverse {
     * radiusMiles <= 0 selects the per-layer vtquery default radius.
     */
   def picks(points: DataFrame, index: CarmenIndex, keys: Seq[String],
-            radiusMiles: Double): DataFrame = {
+            radiusMiles: Double): DataFrame =
+    picksDetailed(points, index, keys, ReverseOptions(radiusMiles = radiusMiles))
+      .select(keys.map(col) ++ Seq(col("idx"), col("layer"), col("feature_id"),
+        col("text"), col("dist_miles"), col("center_lon"),
+        col("center_lat")): _*)
+
+  /** picks with score/geometry-type columns, score-range filtering, and the
+    * per-layer distscore ordering of reverse score mode
+    * (reference context.js:456-471, R5).
+    */
+  def picksDetailed(points: DataFrame, index: CarmenIndex, keys: Seq[String],
+                    opts: ReverseOptions): DataFrame = {
     // explode each point to its tile at every distinct layer zoom
     val tiles = index.zooms.map { z =>
       points.withColumn("z", lit(z))
@@ -51,13 +66,13 @@ object Reverse {
     // layer's zoom; an explicit positive radius overrides it
     val zoomRadius = index.zooms.map(z => z -> vtqueryRadiusMiles(z)).toMap
     val radiusCol =
-      if (radiusMiles > 0) lit(radiusMiles)
+      if (opts.radiusMiles > 0) lit(opts.radiusMiles)
       else index.zooms.foldLeft(lit(0.0)) { (acc, z) =>
         when(col("z") === z, lit(zoomRadius(z))).otherwise(acc)
       }
 
     val tf = index.allTileFeatures
-    tiles.join(tf, tiles("z") === tf("z") && tiles("tx") === tf("x") &&
+    val cand0 = tiles.join(tf, tiles("z") === tf("z") && tiles("tx") === tf("x") &&
         tiles("ty") === tf("y"))
       .drop(tf("z"))
       .where(col("score") >= 0) // ghost filter (context.js:518-526)
@@ -66,32 +81,255 @@ object Reverse {
         when(col("direct_hit"), lit(0.0)).otherwise(
           geomDistUdf(col("geometry"), col("lon"), col("lat"))))
       .where(col("direct_hit") || col("dist_miles") <= radiusCol)
+    val cand = opts.scoreFilter match {
+      case Some((lo, hi)) => cand0.where(col("score") > lo && col("score") <= hi)
+      case None => cand0
+    }
+    val ordering =
+      if (opts.reverseMode == "score")
+        Seq(distscoreCol(col("dist_miles"), col("score")).desc,
+          col("dist_miles").asc, col("feature_id").asc)
+      else Seq(col("dist_miles").asc, col("feature_id").asc)
+    cand
       .withColumn("pick",
         row_number().over(Window
           .partitionBy((keys :+ "idx").map(col): _*)
-          .orderBy(col("dist_miles"), col("feature_id"))))
+          .orderBy(ordering: _*)))
       .where(col("pick") === 1)
+      .withColumn("geom_type", get_json_object(col("geometry"), "$.type"))
       .select(keys.map(col) ++ Seq(col("idx"), col("layer"), col("feature_id"),
-        col("text"), col("dist_miles"), col("f_lon").as("center_lon"),
-        col("f_lat").as("center_lat")): _*)
+        col("text"), col("dist_miles"), col("score"), col("geom_type"),
+        col("f_lon").as("center_lon"), col("f_lat").as("center_lat")): _*)
+  }
+
+  final case class ReverseOptions(
+      limit: Int = 1,
+      reverseMode: String = "distance", // "distance" | "score" (R5)
+      types: Seq[String] = Nil,         // result-type filter (F2-lite)
+      scoreFilter: Option[(Double, Double)] = None, // scoreranges window
+      radiusMiles: Double = 0.0)
+
+  /** One per-layer pick feeding stackFeatures. */
+  final case class PickRow(query_id: Long, idx: Int, layer: String, typ: String,
+                           feature_id: Long, text: String, dist_miles: Double,
+                           score: Double, geom_type: String,
+                           center_lon: Double, center_lat: Double)
+
+  final case class StackedRow(query_id: Long, place_name: String,
+                              feature_id: Long, layer: String,
+                              center_lon: Double, center_lat: Double)
+
+  /** stackFeatures (reference context.js:168-254), single-type-per-layer
+    * model: walk picks fine->coarse, claim one feature per type; a later
+    * (coarser) non-Polygon feature replaces a claimed one only if closer
+    * (or higher-scored in score mode), and requested-type filtering applies
+    * until the first claim.
+    */
+  def stackFeatures(rows: Vector[PickRow], opts: ReverseOptions): Option[StackedRow] = {
+    val wanted = opts.types.toSet
+    val scoreMode = opts.reverseMode == "score"
+    val memo = scala.collection.mutable.LinkedHashMap.empty[String, PickRow]
+    var firstType: Option[String] = None
+    for (f <- rows.sortBy(-_.idx)) {
+      val typ = f.typ
+      val typeOk = wanted.isEmpty || wanted.contains(typ)
+      memo.get(typ) match {
+        case None =>
+          if (firstType.isDefined || typeOk) {
+            memo(typ) = f
+            if (firstType.isEmpty) firstType = Some(typ)
+          }
+        case Some(cur) if f.geom_type != "Polygon" =>
+          val scoreBlocks = scoreMode && cur.score >= f.score
+          val distBlocks = f.dist_miles >= cur.dist_miles
+          val typeBlocks = wanted.nonEmpty && !typeOk
+          if (!scoreBlocks && !distBlocks && !typeBlocks) memo(typ) = f
+        case _ =>
+      }
+    }
+    if (memo.isEmpty) None
+    else {
+      val context = memo.values.toVector.distinct.sortBy(-_.idx)
+      val lead = context.head
+      Some(StackedRow(lead.query_id,
+        context.map(f => f.text.split(",")(0)).mkString(", "),
+        lead.feature_id, lead.layer, lead.center_lon, lead.center_lat))
+    }
+  }
+
+  private def pickRows(spark: SparkSession, index: CarmenIndex,
+                       pts: DataFrame, opts: ReverseOptions): org.apache.spark.sql.Dataset[PickRow] = {
+    import spark.implicits._
+    val typByIdx = index.layers.map(l => l.config.idx -> l.config.typ).toMap
+    val typCol = index.layers.foldLeft(lit("")) { (acc, l) =>
+      when(col("idx") === l.config.idx, lit(l.config.typ)).otherwise(acc)
+    }
+    var all = picksDetailed(pts, index, Seq("query_id"), opts)
+      .withColumn("typ", typCol)
+    val _ = typByIdx
+    all.select(col("query_id").cast("long"), col("idx"), col("layer"),
+      col("typ"), col("feature_id"), col("text"), col("dist_miles"),
+      col("score"), col("geom_type"), col("center_lon"), col("center_lat"))
+      .as[PickRow]
   }
 
   def reverse(spark: SparkSession, index: CarmenIndex, points: DataFrame,
-              radiusMiles: Double = 0.0): DataFrame = {
+              radiusMiles: Double = 0.0): DataFrame =
+    reverseWithOptions(spark, index, points,
+      ReverseOptions(radiusMiles = radiusMiles))
+
+  /** Post-stack address snap row (R7 input). */
+  final case class SnapRaw(query_id: Long, place_name: String,
+                           feature_id: Long, layer: String,
+                           center_lon: Double, center_lat: Double,
+                           q_lon: Double, q_lat: Double,
+                           fGeometry: String, fAddrnum: Seq[Seq[String]])
+
+  def reverseWithOptions(spark: SparkSession, index: CarmenIndex,
+                         points: DataFrame, opts: ReverseOptions): DataFrame = {
+    import spark.implicits._
     val pts = points.select(col("query_id").cast("long"), col("lon"), col("lat"))
-    val all = picks(pts, index, Seq("query_id"), radiusMiles)
-    all.withColumn("display", substring_index(col("text"), ",", 1))
-      .groupBy(col("query_id"))
-      .agg(
-        concat_ws(", ", transform(array_sort(collect_list(
-          struct((lit(100) - col("idx")).as("ord"), col("display")))),
-          s => s.getField("display"))).as("place_name"),
-        max(struct(col("idx"), col("feature_id"), col("layer"),
-          col("center_lon"), col("center_lat"))).as("lead"))
-      .select(col("query_id"), col("place_name"),
-        col("lead.feature_id").as("feature_id"), col("lead.layer").as("layer"),
-        col("lead.center_lon").as("center_lon"),
-        col("lead.center_lat").as("center_lat"))
+    val optsB = opts
+    val stacked = pickRows(spark, index, pts, opts)
+      .groupByKey(_.query_id)
+      .flatMapGroups((_, it) => stackFeatures(it.toVector, optsB).iterator)
+      .toDF()
+
+    val addressLayers = index.layers.filter(_.config.geocoderAddress)
+    val base = stacked.select(col("query_id"), col("place_name"),
+      col("feature_id"), col("layer"), col("center_lon"), col("center_lat"))
+    if (addressLayers.isEmpty) base
+    else {
+      // R7 addresscluster.reverse (reference addresscluster.js:228-273):
+      // leads on address layers snap to the nearest cluster point and
+      // prepend its number
+      val feats = addressLayers.map { l =>
+        l.features.select(lit(l.config.name).as("layer"),
+          col("id").as("feature_id"), col("geometry").as("fGeometry"),
+          col("addressnumber").as("fAddrnum"))
+      }.reduce(_ unionByName _)
+      val raw = stacked
+        .join(pts.withColumnRenamed("lon", "q_lon").withColumnRenamed("lat", "q_lat"),
+          Seq("query_id"))
+        .join(feats, Seq("layer", "feature_id"), "left")
+        .select(col("query_id"), col("place_name"), col("feature_id"),
+          col("layer"), col("center_lon"), col("center_lat"),
+          col("q_lon"), col("q_lat"),
+          coalesce(col("fGeometry"), lit("")).as("fGeometry"),
+          coalesce(col("fAddrnum"), lit(array()).cast("array<array<string>>"))
+            .as("fAddrnum"))
+        .as[SnapRaw]
+      raw.map { r =>
+        val snapped =
+          if (r.fAddrnum.isEmpty || r.fGeometry.isEmpty) None
+          else {
+            val parts = Geom.fromJson(r.fGeometry) match {
+              case Geom.Collection(gs) =>
+                r.fAddrnum.toVector.zipWithIndex.map { case (nums, k) =>
+                  gs.lift(k) match {
+                    case Some(Geom.MultiPoint(mp)) =>
+                      AddressCluster.Part(nums.toVector, mp)
+                    case _ => AddressCluster.Part(nums.toVector, Vector.empty,
+                      isMultiPoint = false)
+                  }
+                }
+              case _ => Vector.empty
+            }
+            AddressCluster.reverse(parts, r.q_lon, r.q_lat)
+          }
+        snapped match {
+          case Some(m) => StackedRow(r.query_id, s"${m.number} ${r.place_name}",
+            r.feature_id, r.layer, m.lon, m.lat)
+          case None => StackedRow(r.query_id, r.place_name, r.feature_id,
+            r.layer, r.center_lon, r.center_lat)
+        }
+      }.toDF()
+        .select(col("query_id"), col("place_name"), col("feature_id"),
+          col("layer"), col("center_lon"), col("center_lat"))
+    }
+  }
+
+  /** nearest / limit>1 reverse (reference context.js:268-304 + R9): k
+    * nearest features of a type per point from a 3x3 tile neighborhood,
+    * each then given its own context at the feature's location.
+    */
+  def nearestK(spark: SparkSession, index: CarmenIndex, points: DataFrame,
+               typ: String, limit: Int,
+               opts: ReverseOptions = ReverseOptions()): DataFrame = {
+    import spark.implicits._
+    val pts = points.select(col("query_id").cast("long"), col("lon"), col("lat"))
+    val layersOfType = index.layers.filter(_.config.typ == typ)
+    require(layersOfType.nonEmpty, s"no layer of type $typ")
+
+    // 3x3 tile neighborhood at each matching layer's zoom — one equi-join
+    val tiles = layersOfType.map(_.config.zoom).distinct.map { z =>
+      pts.withColumn("z", lit(z))
+        .withColumn("tx0", GeoOps.tileX(col("lon"), z))
+        .withColumn("ty0", GeoOps.tileY(col("lat"), z))
+    }.reduce(_ unionByName _)
+      .withColumn("dxy", explode(lit((for (dx <- -1 to 1; dy <- -1 to 1)
+        yield Array(dx, dy)).toArray)))
+      .withColumn("tx", col("tx0") + col("dxy").getItem(0))
+      .withColumn("ty", col("ty0") + col("dxy").getItem(1))
+      .drop("dxy", "tx0", "ty0")
+
+    val tf = index.allTileFeatures
+      .where(col("idx").isin(layersOfType.map(_.config.idx): _*))
+    val cand = tiles.join(tf, tiles("z") === tf("z") && tiles("tx") === tf("x") &&
+        tiles("ty") === tf("y"))
+      .drop(tf("z"))
+      .where(col("score") >= 0)
+      .withColumn("dist_miles", when(
+        pipUdf(col("geometry"), col("lon"), col("lat")), lit(0.0)).otherwise(
+        geomDistUdf(col("geometry"), col("lon"), col("lat"))))
+    val filtered = opts.scoreFilter match {
+      case Some((lo, hi)) => cand.where(col("score") > lo && col("score") <= hi)
+      case None => cand
+    }
+    val ordered =
+      if (opts.reverseMode == "score")
+        filtered.withColumn("rank", row_number().over(Window
+          .partitionBy(col("query_id"))
+          .orderBy(distscoreCol(col("dist_miles"), col("score")).desc,
+            col("dist_miles"), col("feature_id"))))
+      else
+        filtered.withColumn("rank", row_number().over(Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("dist_miles"), col("feature_id"))))
+    ordered.where(col("rank") <= limit)
+      // dedupe features that appear in several neighborhood tiles
+      .dropDuplicates("query_id", "feature_id")
+      .select(col("query_id"), col("rank"), col("feature_id"),
+        col("layer"), col("text"), col("dist_miles"),
+        col("f_lon").as("center_lon"), col("f_lat").as("center_lat"))
+  }
+
+  /** id geocode (reference geocode.js:150-204, R2): "{layerName}.{id}". */
+  def idGeocode(spark: SparkSession, index: CarmenIndex,
+                queries: DataFrame): DataFrame = {
+    val parsed = queries.select(col("query_id").cast("long"),
+      substring_index(col("query"), ".", 1).as("q_layer"),
+      substring_index(col("query"), ".", -1).cast("long").as("q_id"))
+    val feats = index.layers.map { l =>
+      l.features.select(lit(l.config.name).as("q_layer"), col("id").as("q_id"),
+        col("text"), col("center_lon"), col("center_lat"))
+    }.reduce(_ unionByName _)
+    parsed.join(feats, Seq("q_layer", "q_id"))
+      .select(col("query_id"), col("q_layer").as("layer"),
+        col("q_id").as("feature_id"),
+        substring_index(col("text"), ",", 1).as("place_name"),
+        col("center_lon"), col("center_lat"))
+  }
+
+  /** asReverse (reference termops.js:145-155): "lon,lat" -> reverse point. */
+  def asReverse(query: String): Option[(Double, Double)] = {
+    val parts = query.split(",", 3)
+    if (parts.length != 2) None
+    else {
+      val lon = JsNum.jsNumber(parts(0).trim)
+      val lat = JsNum.jsNumber(parts(1).trim)
+      if (lon.isNaN || lat.isNaN) None else Some((lon, lat))
+    }
   }
 
   /** Haversine miles as a pure Column expression (codegen). */
