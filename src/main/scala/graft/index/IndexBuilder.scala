@@ -156,7 +156,12 @@ object IndexBuilder {
       // (reference indexdocs.js:83 loadDoc: simple + complex INDEXING replacer)
       val layerName = cfg.name
       val languages = cfg.languages.toVector
+      val autoPopulate = cfg.autoPopulate.toVector
       val categories = cfg.categories
+      // I12: per-language fallback chains for the fill step
+      // (reference indexdocs.js:77-79)
+      val fallbackMatrix = ClosestLang.fallbackMatrix(
+        languages.filter(_ != "default"))
       val postingsDs = docCovers
         .flatMap { d =>
           val f = freqBc.value
@@ -169,7 +174,7 @@ object IndexBuilder {
             if (x < 0 || y < 0) None else Some((x, y))
           }
           val texts = Phrases.getIndexableTextFull(r.simple, r.complexIndexing,
-            r.global, d.text, d.langTexts.toVector.sortBy(_._1), languages,
+            r.global, d.text, d.langTexts.toVector.sortBy(_._1), autoPopulate,
             categories,
             intersections = AddressTokens.getIntersectionText(
               d.intersections.map(_.toVector).toVector),
@@ -185,6 +190,21 @@ object IndexBuilder {
             val relev = math.max(entry._1, p.relev)
             t.languages.foreach(entry._3 += _)
             byPhrase(p.phrase) = (relev, entry._2, entry._3)
+          }
+          // I12 language fallback fill (reference indexdocs.js:420-449):
+          // configured languages with no phrases inherit the phrases of
+          // their closest present language
+          if (languages.nonEmpty) {
+            val present = byPhrase.valuesIterator.flatMap(_._3).toSet
+            for (lang <- languages if lang != "all" && lang != "default" &&
+                 !present.contains(lang)) {
+              fallbackMatrix.getOrElse(lang, Vector.empty)
+                .find(present.contains)
+                .foreach { candidate =>
+                  for ((_, (_, _, langs)) <- byPhrase if langs.contains(candidate))
+                    langs += lang
+                }
+            }
           }
           for {
             (phrase, (relev, hash, langs)) <- byPhrase.iterator

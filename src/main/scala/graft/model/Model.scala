@@ -23,7 +23,8 @@ final case class LayerConfig(
     geocoderTokens: Seq[(String, graft.core.TokenSpec)] = Nil, // geocoder_tokens
     globalTokens: Seq[(String, String)] = Nil,                 // global replacers
     intersectionToken: String = "",      // geocoder_intersection_token
-    languages: Seq[String] = Nil,        // auto-populate language list
+    languages: Seq[String] = Nil,        // geocoder_languages (lang_map + I12 fill)
+    autoPopulate: Seq[String] = Nil,     // geocoder_languages_from_default
     categories: Set[String] = Set.empty
 ) {
   def ndxKey: String = name

@@ -32,7 +32,8 @@ object Forward {
       autocomplete: Boolean = true,
       fuzzy: Boolean = true,
       proximity: Option[(Double, Double)] = None,
-      limitVerify: Int = 10
+      limitVerify: Int = 10,
+      language: Option[String] = None
   )
 
   /** Query-side fuzzy variant row. */
@@ -58,7 +59,8 @@ object Forward {
                          mask: Int, weight: Double, prefix: Boolean,
                          qlen: Int, relev: Double, score3: Int,
                          id24: Long, x: Int, y: Int, phraseHash: Int,
-                         addrPos: Int, addrNum: String, partial: Boolean)
+                         addrPos: Int, addrNum: String, partial: Boolean,
+                         langSet: String)
 
   /** Spatialmatch output row: one result with its covers. */
   final case class ResultRow(queryId: Long, rank: Int, relev: Double,
@@ -329,14 +331,30 @@ object Forward {
 
     val cfgByLayer = index.layers.map(l =>
       l.config.name -> (l.config, l.scorefactor)).toMap
+    // language target per layer (reference phrasematch.js:297-310): the
+    // requested language resolves to the layer's closest configured label,
+    // else "unmatched"; grids tagged with other languages take the x0.96
+    // coalesce penalty
+    val langTargetByLayer: Map[String, String] = {
+      val languageName = opts.language.map(_.replace("-", "_")).getOrElse("default")
+      index.layers.map { l =>
+        val langMap = "default" +: l.config.languages.map(_.replace("-", "_")).sorted.toVector
+        val target =
+          if (langMap.contains(languageName)) languageName
+          else ClosestLang.closestLangLabel(languageName, langMap).getOrElse("unmatched")
+        l.config.name -> target
+      }.toMap
+    }
     val ndxByName = index.layers.map(_.config.name).distinct.zipWithIndex.toMap
     val cfgBc = spark.sparkContext.broadcast((cfgByLayer, ndxByName))
+    val langTargetBc = spark.sparkContext.broadcast(langTargetByLayer)
 
     val pmRows = matched.select(
       col("queryId"), col("layer"), col("subquery"), col("mask"), col("weight"),
       col("is_prefix").as("prefix"), col("qlen"), col("relev"), col("score3"),
       col("id24"), col("x"), col("y"), col("phrase_hash").as("phraseHash"),
-      col("addrPos"), col("addrNum"), col("partial")
+      col("addrPos"), col("addrNum"), col("partial"),
+      col("lang_set").as("langSet")
     ).as[PmRow]
 
     val proximity = opts.proximity
@@ -354,8 +372,14 @@ object Forward {
           StackCoalesce.Pm(layer, cfg.idx, ndxs(layer), cfg.nonOverlapping,
             cfg.zoom, subq, mask, grs.head.weight, pfx,
             math.max(scorefactor, 1.0),
-            grs.map(g => StackCoalesce.GridRow(g.x, g.y, g.relev, g.score3,
-              g.id24, g.phraseHash, matchesLanguage = true)).toVector,
+            grs.map { g =>
+              val target = langTargetBc.value.getOrElse(layer, "default")
+              val langs = g.langSet.split(",")
+              StackCoalesce.GridRow(g.x, g.y, g.relev, g.score3,
+                g.id24, g.phraseHash,
+                matchesLanguage = g.langSet.isEmpty ||
+                  langs.contains("all") || langs.contains(target))
+            }.toVector,
             addrNum, partial)
         }.toVector
       val sms = StackCoalesce.spatialmatch(qlen, pms, proximity)

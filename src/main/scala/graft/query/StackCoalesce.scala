@@ -147,9 +147,16 @@ object StackCoalesce {
       px >= minX && px <= maxX && py >= minY && py <= maxY
   }
 
+  /** Language-mismatch penalty on a grid's relevance (carmen-core coalesce;
+    * observable in reference acceptance expectations, e.g.
+    * test/acceptance/geocode-unit.promote-language.test.js:107).
+    */
+  val LanguagePenalty = 0.96
+
   private def mkEntry(pm: Pm, g: GridRow,
                       proximity: Option[(Double, Double)]): CoverEntry = {
     val score = GridCodec.decode3BitLogScale(g.score3, pm.scorefactor)
+    val gridRelev = if (g.matchesLanguage) g.relev else g.relev * LanguagePenalty
     val (dist, scoredist) = proximity match {
       case Some((plon, plat)) =>
         val d = Proximity.distance(plon, plat,
@@ -159,7 +166,7 @@ object StackCoalesce {
       case None => (0.0, score)
     }
     CoverEntry(g.x, g.y,
-      relev = JsNum.roundTo(g.relev * pm.weight, 8),
+      relev = JsNum.roundTo(gridRelev * pm.weight, 8),
       score = score, id24 = g.id24, idx = pm.idx,
       tmpid = GridCodec.tmpid(pm.idx, g.id24), mask = pm.mask,
       distance = dist, scoredist = scoredist,
