@@ -33,7 +33,10 @@ object Forward {
       fuzzy: Boolean = true,
       proximity: Option[(Double, Double)] = None,
       limitVerify: Int = 10,
-      language: Option[String] = None
+      language: Option[String] = None,
+      types: Seq[String] = Nil,                       // F2/F3 layer-type filter
+      stacks: Seq[String] = Nil,                      // F2 country-stack filter
+      bbox: Option[(Double, Double, Double, Double)] = None // F4/F5 (W,S,E,N)
   )
 
   /** Query-side fuzzy variant row. */
@@ -255,8 +258,19 @@ object Forward {
               opts: Options = Options()): DataFrame = {
     import spark.implicits._
 
-    val groups = queryGroups(index)
-    val sigOf = index.layers.map(l => l.config.name -> l.config.querySignature).toMap
+    // F1/F2: prune layers by types/stacks up front (reference
+    // filter-sources.js:23-57) — search joins run on the allowed subset;
+    // context fill still sees every layer
+    val allowedLayers = index.layers.filter { l =>
+      val stackOk = opts.stacks.isEmpty || l.config.stack.isEmpty ||
+        l.config.stack.exists(opts.stacks.contains)
+      val typeOk = opts.types.isEmpty || opts.types.contains(l.config.typ)
+      stackOk && typeOk
+    }
+    val searchIndex =
+      if (allowedLayers.length == index.layers.length) index
+      else CarmenIndex(allowedLayers)
+    val groups = queryGroups(searchIndex)
 
     // localCheckpoint (not cache): materializes once and truncates lineage
     // without registering with the CacheManager — repeated forward() calls
@@ -266,7 +280,7 @@ object Forward {
       .localCheckpoint()
 
     def tagSig(dfOf: IndexBuilder.LayerIndex => DataFrame): DataFrame =
-      index.layers.map { l =>
+      searchIndex.layers.map { l =>
         dfOf(l).withColumn("qsig", lit(l.config.querySignature))
       }.reduce(_ unionByName _)
 
@@ -276,6 +290,19 @@ object Forward {
     // docs/index-structure.md:10-12) with a residual startsWith filter for
     // prefixes longer than the key — no nested-loop scan of the postings.
     val postings = tagSig(_.postings)
+    // F4/F5: bbox in tile space at the max layer zoom; spatialmatch prunes
+    // covers whose ancestor/descendant tiles fall outside
+    val tileBbox: Option[(Int, Int, Int, Int, Int)] = opts.bbox.map {
+      case (w, s0, e, n) =>
+        val z = searchIndex.maxZoom
+        def tx(lon: Double) = math.floor((lon + 180.0) / 360.0 * (1 << z)).toInt
+        def ty(lat: Double) = {
+          val r = math.toRadians(lat)
+          math.floor((1.0 - math.log(math.tan(r) + 1.0 / math.cos(r)) / math.Pi)
+            / 2.0 * (1 << z)).toInt
+        }
+        (z, tx(w), ty(n), tx(e), ty(s0))
+    }
     val exact = postings.join(subs,
         postings("phrase") === subs("subquery") &&
           postings("qsig") === subs("qsig"))
@@ -292,7 +319,7 @@ object Forward {
           .where(col("phrase").startsWith(col("subquery")) &&
             col("phrase") =!= col("subquery"))
           .drop("pfx", "pfx_len", "qsig")
-        val prefixMatched = index.allPostings.join(cand, Seq("layer", "phrase"))
+        val prefixMatched = searchIndex.allPostings.join(cand, Seq("layer", "phrase"))
           .withColumn("is_prefix", lit(true))
         exact.unionByName(prefixMatched.select(exact.columns.map(col): _*))
       }
@@ -321,9 +348,10 @@ object Forward {
           .withColumn("addrPos", lit(-1))
           .withColumn("addrNum", lit(""))
           .withColumn("partial", lit(false))
-        val fuzzyMatched = index.allPostings.join(cand,
-            index.allPostings("layer") === cand("cand_layer") &&
-              index.allPostings("phrase") === cand("cand_phrase"))
+        val ap = searchIndex.allPostings
+        val fuzzyMatched = ap.join(cand,
+            ap("layer") === cand("cand_layer") &&
+              ap("phrase") === cand("cand_phrase"))
           .drop("cand_layer", "cand_phrase", "edit")
           .withColumn("is_prefix", lit(false))
         withPrefix.unionByName(fuzzyMatched.select(withPrefix.columns.map(col): _*))
@@ -359,6 +387,7 @@ object Forward {
 
     val proximity = opts.proximity
     val limitVerify = opts.limitVerify
+    val bboxB = tileBbox
 
     // 3. per-query spatialmatch
     val results = pmRows.groupByKey(_.queryId).flatMapGroups { (qid, it) =>
@@ -382,7 +411,7 @@ object Forward {
             }.toVector,
             addrNum, partial)
         }.toVector
-      val sms = StackCoalesce.spatialmatch(qlen, pms, proximity)
+      val sms = StackCoalesce.spatialmatch(qlen, pms, proximity, bboxB)
       sms.take(limitVerify).zipWithIndex.map { case (sm, i) =>
         ResultRow(qid, i + 1, JsNum.roundTo(sm.relev, 4), sm.scoredist,
           sm.covers.map(c => CoverRow(c.idx, layerOf(cfgs, c.idx), c.id24,
