@@ -207,7 +207,8 @@ object SparkEntry {
     }),
 
     "emb_ann_lsh" -> ((s, d) =>
-      Similarity.annLsh(Tables.embeddings(s, d), k = 3, bits = 8)),
+      // multi-table LSH with corpus-scaled bucket width + hot-bucket split
+      Similarity.annLshMulti(Tables.embeddings(s, d), k = 3, tables = 16)),
 
     // --- geospatial tile assignment -------------------------------------
     "geo_tile_points" -> ((s, d) => {

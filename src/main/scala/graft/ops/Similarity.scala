@@ -191,6 +191,90 @@ object Similarity {
       out
     })
 
+  /** Deterministic multi-table hyperplane signature: table t uses its own
+    * hyperplane family (t mixed into the hash).
+    */
+  def hyperplaneSigTableUdf(bits: Int, table: Int): UserDefinedFunction =
+    udf((v: Seq[Float]) => {
+      val sums = new Array[Double](bits)
+      var j = 0
+      while (j < v.length) {
+        val x = v(j).toDouble
+        var i = 0
+        while (i < bits) {
+          var h = (table.toLong * 0x9e3779b97f4a7c15L) ^
+            ((i.toLong << 32) | (j.toLong & 0xffffffffL))
+          h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+          if ((h & 1L) == 0L) sums(i) += x else sums(i) -= x
+          i += 1
+        }
+        j += 1
+      }
+      var out = 0L
+      var i = 0
+      while (i < bits) { if (sums(i) > 0) out |= (1L << i); i += 1 }
+      out
+    })
+
+  private val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => {
+    val av = normalized(a.toArray); val bv = normalized(b.toArray)
+    dotD(av, bv)
+  })
+
+  /** Multi-table hyperplane-LSH approximate NN — the 100 TB ANN shape:
+    *
+    *  - `tables` independent hyperplane families recover the recall a single
+    *    bucketing loses (a true neighbor only needs to collide in ONE table);
+    *  - bucket width scales with the corpus: bits = log2(n / targetBucket),
+    *    clamped to [bitsMin, 40];
+    *  - hot buckets are re-bucketed with `extraBits` finer hyperplanes
+    *    BEFORE the self-join, so no bucket exceeds ~maxBucket and the
+    *    candidate shuffle is bounded (the skew-salting analog);
+    *  - candidate generation and exact-cosine verification are plain
+    *    equi-joins — nothing materializes a bucket in memory.
+    */
+  def annLshMulti(df: DataFrame, k: Int, tables: Int = 8,
+                  bitsMin: Int = 3, targetBucket: Int = 64,
+                  maxBucket: Int = 512, extraBits: Int = 8,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    val n = df.count()
+    val bits = math.min(40, math.max(bitsMin,
+      (math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).ceil.toInt))
+
+    val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val sigs = (0 until tables).map { t =>
+      vecs.select(col("id"), lit(t).as("table"),
+        hyperplaneSigTableUdf(bits, t)(col("v")).as("b0"),
+        hyperplaneSigTableUdf(extraBits, t + 1000)(col("v")).as("bx"))
+    }.reduce(_ unionByName _)
+
+    // hot-bucket split: oversized (table, b0) buckets refine with extra bits
+    val counts = sigs.groupBy(col("table"), col("b0"))
+      .agg(count(lit(1)).as("n_b"))
+    val bucketed = sigs.join(counts, Seq("table", "b0"))
+      .withColumn("bucket",
+        when(col("n_b") > maxBucket,
+          concat_ws(":", col("b0"), col("bx"))).otherwise(col("b0").cast("string")))
+      .select(col("table"), col("bucket"), col("id"))
+
+    val a = bucketed.select(col("table"), col("bucket"), col("id").as("query_id"))
+    val b = bucketed.select(col("table"), col("bucket"), col("id").as("corpus_id"))
+    val cand = a.join(b, Seq("table", "bucket"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"))
+      .distinct()
+
+    val scored = cand
+      .join(vecs.select(col("id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(vecs.select(col("id").as("corpus_id"), col("v").as("cv")), "corpus_id")
+      .withColumn("cos", cosUdf(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("rank"))
+  }
+
   /** LSH-bucketed approximate NN: candidates share a signature bucket;
     * verified and ranked by exact cosine within bucket. The scale path for
     * ANN when the corpus no longer fits a broadcast.
