@@ -25,7 +25,8 @@ final case class LayerConfig(
     intersectionToken: String = "",      // geocoder_intersection_token
     languages: Seq[String] = Nil,        // geocoder_languages (lang_map + I12 fill)
     autoPopulate: Seq[String] = Nil,     // geocoder_languages_from_default
-    categories: Set[String] = Set.empty
+    categories: Set[String] = Set.empty,
+    geocoderFormat: String = ""          // geocoder_format template
 ) {
   def ndxKey: String = name
 

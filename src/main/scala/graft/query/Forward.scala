@@ -79,7 +79,7 @@ object Forward {
                          idx: Int, mask: Int, relev: Double, text: String,
                          zoom: Int, smRelev: Double, scoredist: Double,
                          featureId: Long, lon: Double, lat: Double,
-                         display: String)
+                         display: String, number: String)
 
   final case class FinalRow(query_id: Long, rank: Int, relev: Double,
                             scoredist: Double, place_name: String,
@@ -176,7 +176,7 @@ object Forward {
       query_id: Long, position: Int, kind: Int, tmpid: Long, idx: Int,
       mask: Int, relev: Double, text: String, zoom: Int, smRelev: Double,
       scoredist: Double, featureId: Long, lon: Double, lat: Double,
-      display: String, addrPenalty: Boolean)
+      display: String, number: String, addrPenalty: Boolean)
 
   /** Address-cluster/ITP resolution for one lead feature (reference
     * verifymatch.js:397-492): exact cluster match, then range interpolation,
@@ -187,7 +187,7 @@ object Forward {
                           proximity: Option[(Double, Double)]): LeadOut = {
     val noPenalty = LeadOut(r.query_id, r.position, 2, r.tmpid, r.idx, r.mask,
       r.relev, r.text, r.zoom, r.smRelev, r.scoredist, r.featureId, r.lon,
-      r.lat, r.display, addrPenalty = false)
+      r.lat, r.display, number = "", addrPenalty = false)
     val hasAddressData = r.fAddrnum.nonEmpty || r.fRangetype.nonEmpty
     if (!r.addressLayer || r.featureId < 0 || !hasAddressData) return noPenalty
     if (r.addrNum.isEmpty && !r.partial) return noPenalty
@@ -246,8 +246,7 @@ object Forward {
 
     resolved match {
       case Some((lon, lat, matchedNum)) =>
-        noPenalty.copy(lon = lon, lat = lat,
-          display = s"$matchedNum ${r.display}")
+        noPenalty.copy(lon = lon, lat = lat, number = matchedNum)
       case None =>
         // street fallback (verifymatch.js:456-460, 489-492)
         noPenalty.copy(addrPenalty = true)
@@ -477,7 +476,7 @@ object Forward {
     val leadRows = leadOut.select(col("query_id"), col("position"), col("kind"),
       col("tmpid"), col("idx"), col("mask"), col("relev"), col("text"),
       col("zoom"), col("smRelev"), col("scoredist"), col("featureId"),
-      col("lon"), col("lat"), col("display"))
+      col("lon"), col("lat"), col("display"), col("number"))
 
     // cover rows (kind 0); the pos==0 cover takes the street-fallback
     // penalty when its address number failed to resolve
@@ -491,7 +490,7 @@ object Forward {
         col("relev") * 0.99).otherwise(col("relev")).as("relev"),
       col("text"), col("zoom"), col("smRelev"), col("scoredist"),
       lit(-1L).as("featureId"), lit(0.0).as("lon"), lit(0.0).as("lat"),
-      lit("").as("display"))
+      lit("").as("display"), lit("").as("number"))
 
     // context rows (kind 1): reverse-lookup of the lead center in every
     // layer coarser than the lead (reference verifymatch.js:542-559)
@@ -509,7 +508,8 @@ object Forward {
           col("text"), lit(0).as("zoom"), lit(0.0).as("smRelev"),
           lit(0.0).as("scoredist"), col("feature_id").as("featureId"),
           col("center_lon").as("lon"), col("center_lat").as("lat"),
-          substring_index(col("text"), ",", 1).as("display"))
+          substring_index(col("text"), ",", 1).as("display"),
+          lit("").as("number"))
 
     val tagged = coverRows.unionByName(leadRows).unionByName(contextRows)
       .as[VRowT]
@@ -521,6 +521,9 @@ object Forward {
         cfgs.collectFirst { case (name, (c, _)) if c.idx == idx => ndxs(name) }
           .getOrElse(idx)
       val rows = it.toVector
+      def typFmtOf(idx: Int): (String, String) =
+        cfgs.collectFirst { case (_, (c, _)) if c.idx == idx =>
+          (c.typ, c.geocoderFormat) }.getOrElse(("", ""))
       val byPos = rows.groupBy(_.position)
       val vresults = byPos.toVector.sortBy(_._1).flatMap { case (posn, rs) =>
         val covers = rs.filter(_.kind == 0).map(r =>
@@ -531,15 +534,19 @@ object Forward {
           val context = VerifyRank.VCtx(lead.tmpid, lead.idx, ndxOf(lead.idx),
             lead.display) +:
             ctx.map(r => VerifyRank.VCtx(r.tmpid, r.idx, ndxOf(r.idx), r.display)).toVector
-          val placeName = (lead.display +: ctx.map(_.display)).filter(_.nonEmpty)
-            .mkString(", ")
+          // O1: geocoder_format template of the lead layer, else the
+          // default "number name, name..." join (format-features.js:50-112)
+          val ctxFeats = (lead +: ctx).map(r =>
+            FormatPlace.CtxFeat(typFmtOf(r.idx)._1, r.display, r.number)).toVector
+          val placeName = FormatPlace.placeName(ctxFeats, typFmtOf(lead.idx)._2)
           (VerifyRank.VResult(posn, lead.smRelev, lead.scoredist,
-            covers.toVector, context, lead.featureId, ndxOf(lead.idx)),
+            covers.toVector, context, lead.featureId, ndxOf(lead.idx),
+            addressNull = lead.number.isEmpty),
             (placeName, lead.featureId, lead.lon, lead.lat, lead.idx))
         }
       }
       val meta = vresults.map { case (vr, m) => vr.position -> m }.toMap
-      val ranked = VerifyRank.rank(vresults.map(_._1))
+      val ranked = VerifyRank.rank(vresults.map(_._1), proximity.isDefined)
       // dedupe by place_name keeping the best (reference format-features O2)
       val seen = scala.collection.mutable.HashSet.empty[String]
       ranked.iterator.flatMap { v =>

@@ -27,7 +27,8 @@ object VerifyRank {
   /** One spatialmatch result awaiting verification. */
   final case class VResult(position: Int, smRelev: Double, scoredist: Double,
                            covers: Vector[VCover], context: Vector[VCtx],
-                           leadFeatureId: Long, leadNdx: Int)
+                           leadFeatureId: Long, leadNdx: Int,
+                           addressNull: Boolean = true)
 
   final case class Verified(position: Int, relevance: Double, scoredist: Double,
                             typeindex: Int, leadFeatureId: Long)
@@ -111,7 +112,7 @@ object VerifyRank {
   /** verifyContexts: strict + loose passes, 6-dp rounding, drop relev 0,
     * sortContext ordering, dedupe by identical display text.
     */
-  def rank(results: Vector[VResult]): Vector[Verified] = {
+  def rank(results: Vector[VResult], proximitySet: Boolean = false): Vector[Verified] = {
     // loose sets: best cover per tmpid across all results (spatialmatch.js:64-68)
     val sets = mutable.HashMap.empty[Long, VCover]
     for (r <- results; cv <- r.covers) {
@@ -125,12 +126,22 @@ object VerifyRank {
       val strictRelev = verifyContext(r.context, strict, Map.empty)
       val looseRelev = verifyContext(r.context, strict, loose)
       val relevance = JsNum.roundTo(math.max(strictRelev, looseRelev), 6)
+      // X9: proximity searches sort by the relev+scoredist composite before
+      // raw scoredist (reference verifymatch.js:512-517, sortContext:986)
+      val composite =
+        if (proximitySet)
+          graft.core.Proximity.relevanceScore(r.smRelev, r.scoredist,
+            r.addressNull, ghost = false)
+        else 0.0
       if (relevance > 0)
-        Some(Verified(r.position, relevance, r.scoredist, r.leadNdx, r.leadFeatureId))
+        Some((Verified(r.position, relevance, r.scoredist, r.leadNdx,
+          r.leadFeatureId), composite))
       else None
     }
 
-    verified.sortBy(v => (-v.relevance, -v.scoredist, v.typeindex, v.position,
-      v.leadFeatureId))
+    verified.sortBy { case (v, composite) =>
+      (-v.relevance, -composite, -v.scoredist, v.typeindex, v.position,
+        v.leadFeatureId)
+    }.map(_._1)
   }
 }

@@ -103,6 +103,32 @@ class AddressAcceptanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(res.head._4 - 0.004) < 0.0012, s"interpolated lon: $res")
   }
 
+  test("geocoder_format template renders number/name/context slots") {
+    val sp = spark
+    def docs(d: GeoDoc*) = sp.createDataset(d)(org.apache.spark.sql.Encoders.product[GeoDoc])
+    val idx2 = IndexBuilder.build(spark, Seq(
+      (LayerConfig("place", idx = 0, zoom = 6, typ = "place"),
+        docs(GeoDoc(1, "Springfield", 10, poly(-0.012, -0.012, 0.014, 0.009), 0.001, -0.001))),
+      (LayerConfig("address", idx = 1, zoom = 6, typ = "address",
+        geocoderAddress = true,
+        geocoderFormat = "{{address.number}} {{address.name}} {{place.name}}"),
+        docs(GeoDoc(1, "beach street", 0,
+          gcPoints(Seq((0.004, 0.004), (0.005, 0.005))), 0.004, 0.004,
+          addressnumber = Seq(Seq("123", "234")))))))
+    import sp.implicits._
+    val res = graft.query.Forward.forward(spark, idx2,
+      Seq((1L, "123 beach street Springfield")).toDF("query_id", "query"))
+      .select(col("place_name")).as[String].collect()
+    assert(res.nonEmpty)
+    assert(res.head === "123 beach street Springfield", s"got ${res.toSeq}")
+    // unfilled slots clean up: query without context place
+    val res2 = graft.query.Forward.forward(spark, idx2,
+      Seq((1L, "234 beach street")).toDF("query_id", "query"))
+      .select(col("place_name")).as[String].collect()
+    // context fill still finds Springfield at the address point; both forms ok
+    assert(res2.head.startsWith("234 beach street"), s"got ${res2.toSeq}")
+  }
+
   test("interpolation matches the AddressItp kernel") {
     val itp = graft.core.AddressItp.forward(Vector(graft.core.AddressItp.Part(
       lines = Vector(Vector((0.0, 0.0), (0.008, 0.0))),
