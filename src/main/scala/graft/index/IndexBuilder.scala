@@ -73,8 +73,19 @@ object IndexBuilder {
       layers.map(_.prefixes).reduce(_ unionByName _)
   }
 
-  private val coverUdf = udf((geojson: String, zoom: Int) => {
-    TileCover.zxy(Geom.fromJson(geojson), zoom)
+  private val coverUdf = udf((geojson: String, zoom: Int, lon: Double, lat: Double) => {
+    // I4: cap covers at 10k keeping those nearest the center
+    DocHygiene.capCovers(TileCover.zxy(Geom.fromJson(geojson), zoom), lon, lat, zoom)
+  })
+
+  private val centerFixUdf = udf((lon: Double, lat: Double, zxy: Seq[String],
+                                  geojson: String) => {
+    // I6: recompute the center when it falls outside every cover
+    if (DocHygiene.verifyCenter(lon, lat, zxy)) Array(lon, lat)
+    else {
+      val c = DocHygiene.centroid(Geom.fromJson(geojson))
+      Array(c._1, c._2)
+    }
   })
 
   /** Per-layer compiled replacers (reference index.js:224-227). */
@@ -121,11 +132,19 @@ object IndexBuilder {
 
   def build(spark: SparkSession, layers: Seq[(LayerConfig, Dataset[GeoDoc])]): CarmenIndex = {
     import spark.implicits._
-    val built = layers.map { case (cfg, docs) =>
+    val built = layers.map { case (cfg, docs0) =>
       val replBc = spark.sparkContext.broadcast(replacersFor(cfg))
-      // 1. standardize: tile covers at the layer zoom (I3)
+      // 1. standardize: I5 outlier clamp, tile covers at the layer zoom
+      // (I3/I4), center verification (I6)
+      val docs = docs0.map(DocHygiene.clampRanges _)
       val withCovers = docs.toDF()
-        .withColumn("zxy", coverUdf(col("geometry"), lit(cfg.zoom)))
+        .withColumn("zxy", coverUdf(col("geometry"), lit(cfg.zoom),
+          col("centerLon"), col("centerLat")))
+        .withColumn("center_fixed", centerFixUdf(col("centerLon"),
+          col("centerLat"), col("zxy").cast("array<string>"), col("geometry")))
+        .withColumn("centerLon", col("center_fixed").getItem(0))
+        .withColumn("centerLat", col("center_fixed").getItem(1))
+        .drop("center_fixed")
         .withColumn("id24", pmod(abs(col("id")), lit(1L << 24)))
         .withColumn("num_geoms", numGeomsUdf(col("geometry")))
         .cache()

@@ -26,7 +26,9 @@ final case class LayerConfig(
     languages: Seq[String] = Nil,        // geocoder_languages (lang_map + I12 fill)
     autoPopulate: Seq[String] = Nil,     // geocoder_languages_from_default
     categories: Set[String] = Set.empty,
-    geocoderFormat: String = ""          // geocoder_format template
+    geocoderFormat: String = "",         // geocoder_format template
+    geocoderInheritScore: Boolean = false, // geocoder_inherit_score
+    geocoderGrantScore: Boolean = true     // geocoder_grant_score
 ) {
   def ndxKey: String = name
 

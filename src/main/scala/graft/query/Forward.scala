@@ -79,7 +79,8 @@ object Forward {
                          idx: Int, mask: Int, relev: Double, text: String,
                          zoom: Int, smRelev: Double, scoredist: Double,
                          featureId: Long, lon: Double, lat: Double,
-                         display: String, number: String)
+                         display: String, number: String,
+                         fullText: String, fscore: Double)
 
   final case class FinalRow(query_id: Long, rank: Int, relev: Double,
                             scoredist: Double, place_name: String,
@@ -102,6 +103,26 @@ object Forward {
   private val onlyDigits = java.util.regex.Pattern.compile("^\\d+$")
   private val digitsHash = java.util.regex.Pattern.compile("^[\\d#]+$")
 
+  /** T18 whitespace corrector (reference lib/util/whitespace.js): split
+    * letters+digits fused tokens ("fake123" -> "fake 123") as a second
+    * zero-fuzz hypothesis for address indexes.
+    */
+  private val numberLetter = java.util.regex.Pattern.compile(
+    "^(([A-Za-z\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u00FF]{3,})([0-9]+)|([0-9]+)([A-Za-z\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u00FF]{4,}))$")
+
+  private def whitespaceCorrect(tokens: Vector[String]): Option[Vector[String]] = {
+    var found = false
+    val out = tokens.flatMap { t =>
+      val m = numberLetter.matcher(t)
+      if (m.matches()) {
+        found = true
+        if (m.group(2) != null) Vector(m.group(2), m.group(3))
+        else Vector(m.group(4), m.group(5))
+      } else Vector(t)
+    }
+    if (found) Some(out) else None
+  }
+
   def subqueries(spark: SparkSession, queries: DataFrame,
                  groups: Vector[QueryGroup],
                  proximityDefined: Boolean): DataFrame = {
@@ -121,9 +142,9 @@ object Forward {
           else {
             val qlen = tokens.length
             var partial = false
-            val perms: Vector[Phrases.Perm] =
+            def permsOf(tokens: Vector[String]): Vector[Phrases.Perm] =
               if (!g.geocoderAddress) Phrases.permutations(tokens, None, all = false)
-              else if (qlen > 1) {
+              else if (tokens.length > 1) {
                 // housenum-tokenized + intersection perms
                 // (reference phrasematch.js:191-206)
                 var all = Phrases.permutations(tokens, None, all = false)
@@ -144,17 +165,35 @@ object Forward {
                   all = all ++ Phrases.permutations(v, None, all = false)
                 all
               } else Phrases.permutations(tokens, None, all = false)
-            perms.iterator
-              // no number-only single-token phrases in address indexes
-              // unless partial-number (phrasematch.js:224-226)
-              .filter(p => !g.geocoderAddress || partial || p.terms.length != 1 ||
-                !digitsHash.matcher(p.terms.head).matches())
-              .map { p =>
-                SubQ(qid, p.terms.mkString(" "), p.mask, p.ender,
-                  Integer.bitCount(p.mask).toDouble / qlen, qlen,
-                  p.addressPos.getOrElse(-1), p.addressNumber.getOrElse(""),
-                  partial, g.qsig)
+            // T18: one whitespace-corrected hypothesis for address groups
+            // (reference phrasematch.js:62-77, lib/util/whitespace.js);
+            // its masks/weights live in its own token space — dedupe by
+            // (terms, ender, mask) across hypotheses like alreadyTried
+            val hypotheses: Vector[(Vector[Phrases.Perm], Int)] = {
+              val base = (permsOf(tokens), qlen)
+              if (!g.geocoderAddress) Vector(base)
+              else whitespaceCorrect(tokens) match {
+                case Some(corrected)
+                  if corrected.length <= TextNormalize.MaxQueryTokens =>
+                  Vector(base, (permsOf(corrected), corrected.length))
+                case _ => Vector(base)
               }
+            }
+            val tried = scala.collection.mutable.HashSet.empty[(Vector[String], Boolean, Int)]
+            hypotheses.iterator.flatMap { case (perms, hlen) =>
+              perms.iterator
+                // no number-only single-token phrases in address indexes
+                // unless partial-number (phrasematch.js:224-226)
+                .filter(p => !g.geocoderAddress || partial || p.terms.length != 1 ||
+                  !digitsHash.matcher(p.terms.head).matches())
+                .filter(p => tried.add((p.terms, p.ender, p.mask)))
+                .map { p =>
+                  SubQ(qid, p.terms.mkString(" "), p.mask, p.ender,
+                    Integer.bitCount(p.mask).toDouble / hlen, hlen,
+                    p.addressPos.getOrElse(-1), p.addressNumber.getOrElse(""),
+                    partial, g.qsig)
+                }
+            }
           }
         }
       }.toDF()
@@ -166,6 +205,7 @@ object Forward {
       relev: Double, text: String, zoom: Int, smRelev: Double,
       scoredist: Double, addrNum: String, partial: Boolean,
       featureId: Long, lon: Double, lat: Double, display: String,
+      fFullText: String, fScore: Double,
       fGeometry: String, fAddrnum: Seq[Seq[String]], fRangetype: String,
       fLfromhn: Seq[Seq[String]], fLtohn: Seq[Seq[String]],
       fRfromhn: Seq[Seq[String]], fRtohn: Seq[Seq[String]],
@@ -176,7 +216,8 @@ object Forward {
       query_id: Long, position: Int, kind: Int, tmpid: Long, idx: Int,
       mask: Int, relev: Double, text: String, zoom: Int, smRelev: Double,
       scoredist: Double, featureId: Long, lon: Double, lat: Double,
-      display: String, number: String, addrPenalty: Boolean)
+      display: String, number: String, fullText: String, fscore: Double,
+      addrPenalty: Boolean)
 
   /** Address-cluster/ITP resolution for one lead feature (reference
     * verifymatch.js:397-492): exact cluster match, then range interpolation,
@@ -187,7 +228,8 @@ object Forward {
                           proximity: Option[(Double, Double)]): LeadOut = {
     val noPenalty = LeadOut(r.query_id, r.position, 2, r.tmpid, r.idx, r.mask,
       r.relev, r.text, r.zoom, r.smRelev, r.scoredist, r.featureId, r.lon,
-      r.lat, r.display, number = "", addrPenalty = false)
+      r.lat, r.display, number = "", fullText = r.fFullText,
+      fscore = r.fScore, addrPenalty = false)
     val hasAddressData = r.fAddrnum.nonEmpty || r.fRangetype.nonEmpty
     if (!r.addressLayer || r.featureId < 0 || !hasAddressData) return noPenalty
     if (r.addrNum.isEmpty && !r.partial) return noPenalty
@@ -392,7 +434,7 @@ object Forward {
     val results = pmRows.groupByKey(_.queryId).flatMapGroups { (qid, it) =>
       val (cfgs, ndxs) = cfgBc.value
       val rows = it.toVector
-      val qlen = rows.head.qlen
+      val qlen = rows.iterator.map(_.qlen).min // base hypothesis length
       val pms = rows.groupBy(r => (r.layer, r.mask, r.subquery, r.prefix,
           r.addrNum, r.partial))
         .map { case ((layer, mask, subq, pfx, addrNum, partial), grs) =>
@@ -429,6 +471,7 @@ object Forward {
         col("id").as("feature_id"), col("text").as("f_text"),
         col("center_lon"), col("center_lat"),
         col("geometry").as("f_geometry"),
+        col("score").as("f_score"),
         col("addressnumber").as("f_addrnum"),
         col("rangetype").as("f_rangetype"),
         col("lfromhn").as("f_lfromhn"), col("ltohn").as("f_ltohn"),
@@ -459,6 +502,8 @@ object Forward {
       coalesce(col("center_lon"), lit(0.0)).as("lon"),
       coalesce(col("center_lat"), lit(0.0)).as("lat"),
       coalesce(substring_index(col("f_text"), ",", 1), lit("")).as("display"),
+      coalesce(col("f_text"), lit("")).as("fFullText"),
+      coalesce(col("f_score"), lit(0.0)).as("fScore"),
       coalesce(col("f_geometry"), lit("")).as("fGeometry"),
       coalesce(col("f_addrnum"), emptyNested).as("fAddrnum"),
       coalesce(col("f_rangetype"), lit("")).as("fRangetype"),
@@ -476,7 +521,8 @@ object Forward {
     val leadRows = leadOut.select(col("query_id"), col("position"), col("kind"),
       col("tmpid"), col("idx"), col("mask"), col("relev"), col("text"),
       col("zoom"), col("smRelev"), col("scoredist"), col("featureId"),
-      col("lon"), col("lat"), col("display"), col("number"))
+      col("lon"), col("lat"), col("display"), col("number"),
+      col("fullText"), col("fscore"))
 
     // cover rows (kind 0); the pos==0 cover takes the street-fallback
     // penalty when its address number failed to resolve
@@ -490,7 +536,8 @@ object Forward {
         col("relev") * 0.99).otherwise(col("relev")).as("relev"),
       col("text"), col("zoom"), col("smRelev"), col("scoredist"),
       lit(-1L).as("featureId"), lit(0.0).as("lon"), lit(0.0).as("lat"),
-      lit("").as("display"), lit("").as("number"))
+      lit("").as("display"), lit("").as("number"),
+      lit("").as("fullText"), lit(0.0).as("fscore"))
 
     // context rows (kind 1): reverse-lookup of the lead center in every
     // layer coarser than the lead (reference verifymatch.js:542-559)
@@ -509,7 +556,8 @@ object Forward {
           lit(0.0).as("scoredist"), col("feature_id").as("featureId"),
           col("center_lon").as("lon"), col("center_lat").as("lat"),
           substring_index(col("text"), ",", 1).as("display"),
-          lit("").as("number"))
+          lit("").as("number"), col("text").as("fullText"),
+          col("score").as("fscore"))
 
     val tagged = coverRows.unionByName(leadRows).unionByName(contextRows)
       .as[VRowT]
@@ -530,10 +578,23 @@ object Forward {
           VerifyRank.VCover(r.tmpid, r.idx, r.mask, r.relev, r.text, r.zoom))
         val leadOpt = rs.find(_.kind == 2)
         leadOpt.map { lead =>
+          def flagsOf(idx: Int): (Boolean, Boolean) =
+            cfgs.collectFirst { case (_, (c2, _)) if c2.idx == idx =>
+              (c2.geocoderInheritScore, c2.geocoderGrantScore) }
+              .getOrElse((false, true))
           val ctx = rs.filter(_.kind == 1).sortBy(-_.idx)
-          val context = VerifyRank.VCtx(lead.tmpid, lead.idx, ndxOf(lead.idx),
-            lead.display) +:
-            ctx.map(r => VerifyRank.VCtx(r.tmpid, r.idx, ndxOf(r.idx), r.display)).toVector
+          val context = {
+            val (li, lg) = flagsOf(lead.idx)
+            VerifyRank.VCtx(lead.tmpid, lead.idx, ndxOf(lead.idx),
+              lead.display, fullText = lead.fullText, score = lead.fscore,
+              inheritScore = li, grantScore = lg) +:
+              ctx.map { r =>
+                val (ci, cg) = flagsOf(r.idx)
+                VerifyRank.VCtx(r.tmpid, r.idx, ndxOf(r.idx), r.display,
+                  fullText = r.fullText, score = r.fscore,
+                  inheritScore = ci, grantScore = cg)
+              }.toVector
+          }
           // O1: geocoder_format template of the lead layer, else the
           // default "number name, name..." join (format-features.js:50-112)
           val ctxFeats = (lead +: ctx).map(r =>

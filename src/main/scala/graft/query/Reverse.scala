@@ -46,7 +46,7 @@ object Reverse {
             radiusMiles: Double): DataFrame =
     picksDetailed(points, index, keys, ReverseOptions(radiusMiles = radiusMiles))
       .select(keys.map(col) ++ Seq(col("idx"), col("layer"), col("feature_id"),
-        col("text"), col("dist_miles"), col("center_lon"),
+        col("text"), col("dist_miles"), col("score"), col("center_lon"),
         col("center_lat")): _*)
 
   /** picks with score/geometry-type columns, score-range filtering, and the

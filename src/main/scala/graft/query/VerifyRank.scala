@@ -20,9 +20,23 @@ object VerifyRank {
 
   /** One context element; position 0 is the candidate feature itself,
     * the rest the reverse-context hierarchy sorted low-to-high.
+    * `fullText` is the feature's comma-joined carmen:text (for textAlike);
+    * `score`/`inheritScore`/`grantScore` feed squishy score inheritance.
     */
   final case class VCtx(tmpid: Long, idx: Int, ndx: Int, text: String,
-                        ignoreOrder: Boolean = false)
+                        ignoreOrder: Boolean = false,
+                        fullText: String = "", score: Double = 0.0,
+                        inheritScore: Boolean = false,
+                        grantScore: Boolean = false)
+
+  /** textAlike (reference verifymatch.js:1069-1084), default-text form:
+    * the target's first synonym appears inside the candidate's.
+    */
+  def textAlike(target: String, candidate: String): Boolean = {
+    val t = target.split(",")(0)
+    val c = candidate.split(",")(0)
+    t.nonEmpty && c.nonEmpty && c.contains(t)
+  }
 
   /** One spatialmatch result awaiting verification. */
   final case class VResult(position: Int, smRelev: Double, scoredist: Double,
@@ -39,7 +53,16 @@ object VerifyRank {
     */
   def verifyContext(context: Vector[VCtx], strict: Map[Long, VCover],
                     loose: Map[Long, VCover],
-                    addressOrder: String = "ascending"): Double = {
+                    addressOrder: String = "ascending"): Double =
+    verifyContextSquishy(context, strict, loose, addressOrder)._1
+
+  /** verifyContext returning (relevance, squishy score bonus) — squishy
+    * score inheritance for same-named nested features
+    * (reference verifymatch.js:813-838, 939-972).
+    */
+  def verifyContextSquishy(context: Vector[VCtx], strict: Map[Long, VCover],
+                           loose: Map[Long, VCover],
+                           addressOrder: String = "ascending"): (Double, Double) = {
     var usedmask = 0
     var closemask = 0
     var lastmask = -1
@@ -48,6 +71,11 @@ object VerifyRank {
     var relevance = 0.0
     var closeRelevance = 0.0
     var direction: String = null
+    var squishy = 0.0
+    val squishyTarget: Option[VCtx] =
+      context.headOption.filter(_.inheritScore)
+    var contextSquishyTarget: Option[VCtx] = None
+    var contextSquishy = false
 
     val strictByIdx = strict.values.map(c => c.idx -> c).toMap
 
@@ -67,8 +95,25 @@ object VerifyRank {
             // very short text (reference verifymatch.js:782-793)
             if (m.zoom <= 8 || (m.text != null && m.text.length <= 3)) skip = true
             else { matchedOpt = Some(m); closeButNoCigar = true }
-          case None => skip = true
+          case None =>
+            // CONTEXT SQUISHY (verifymatch.js:794-800)
+            if (contextSquishyTarget.isDefined && !contextSquishy &&
+              feat.grantScore &&
+              textAlike(contextSquishyTarget.get.fullText, feat.fullText))
+              contextSquishy = true
+            skip = true
         }
+      }
+
+      if (!skip) {
+        // SQUISHY (verifymatch.js:813-822)
+        if (squishyTarget.isDefined && c > 0 && feat.grantScore &&
+          textAlike(squishyTarget.get.fullText, feat.fullText))
+          squishy += math.max(feat.score, 0.0)
+        // CONTEXT SQUISHY target (verifymatch.js:824-838)
+        if (contextSquishyTarget.isEmpty && c > 0 && feat.inheritScore &&
+          !closeButNoCigar)
+          contextSquishyTarget = Some(feat)
       }
 
       if (!skip) {
@@ -104,9 +149,10 @@ object VerifyRank {
     }
 
     if (closemask != 0 && (closemask & usedmask) == 0) relevance += closeRelevance
+    if (contextSquishy) relevance += 0.01 // verifymatch.js:970-972
     if (direction != null) relevance -= 0.01
     if (direction != null && addressOrder == direction) relevance += 0.01
-    math.max(relevance, 0.0)
+    (math.max(relevance, 0.0), squishy)
   }
 
   /** verifyContexts: strict + loose passes, 6-dp rounding, drop relev 0,
@@ -123,8 +169,9 @@ object VerifyRank {
 
     val verified = results.flatMap { r =>
       val strict = r.covers.map(c => c.tmpid -> c).toMap
-      val strictRelev = verifyContext(r.context, strict, Map.empty)
-      val looseRelev = verifyContext(r.context, strict, loose)
+      val (strictRelev, sq1) = verifyContextSquishy(r.context, strict, Map.empty)
+      val (looseRelev, sq2) = verifyContextSquishy(r.context, strict, loose)
+      val squishy = math.max(sq1, sq2)
       val relevance = JsNum.roundTo(math.max(strictRelev, looseRelev), 6)
       // X9: proximity searches sort by the relev+scoredist composite before
       // raw scoredist (reference verifymatch.js:512-517, sortContext:986)
@@ -133,8 +180,11 @@ object VerifyRank {
           graft.core.Proximity.relevanceScore(r.smRelev, r.scoredist,
             r.addressNull, ghost = false)
         else 0.0
+      // squishy bumps the lead's effective score: without proximity the
+      // reference adds it straight onto scoredist (verifymatch.js:958-960)
+      val scoredist = r.scoredist + (if (squishy > 0) squishy else 0.0)
       if (relevance > 0)
-        Some((Verified(r.position, relevance, r.scoredist, r.leadNdx,
+        Some((Verified(r.position, relevance, scoredist, r.leadNdx,
           r.leadFeatureId), composite))
       else None
     }

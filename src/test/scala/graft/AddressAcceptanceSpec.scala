@@ -103,6 +103,12 @@ class AddressAcceptanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(res.head._4 - 0.004) < 0.0012, s"interpolated lon: $res")
   }
 
+  test("whitespace corrector splits fused number+street tokens (T18)") {
+    val res = fw("123beach street Springfield")
+    assert(res.nonEmpty, s"got $res")
+    assert(res.head._3 === "123 beach street, Springfield", s"got $res")
+  }
+
   test("geocoder_format template renders number/name/context slots") {
     val sp = spark
     def docs(d: GeoDoc*) = sp.createDataset(d)(org.apache.spark.sql.Encoders.product[GeoDoc])
