@@ -77,8 +77,11 @@ object Dedup {
   /** MinHash-LSH candidates verified with EXACT Jaccard over the distinct
     * word 3-gram shingle sets (candidate generation approximate, verification
     * exact — the standard production near-dup pipeline). Output is
-    * oracle-checkable wherever banding recall is 1.0 for pairs above the
-    * threshold.
+    * oracle-checkable wherever banding recall is ~1.0 for pairs above the
+    * threshold: the banding must be chosen so the s-curve knee sits BELOW
+    * the query threshold. For threshold 0.5 use rowsPerBand=2 (b=32):
+    * miss probability at j=0.5 is (1-0.5^2)^32 ~ 1e-4, vs ~36% for the
+    * r=4/b=16 banding whose midpoint coincides with 0.5.
     */
   def minhashLshExactPairs(df: DataFrame, idCol: String, textCol: String,
                            numHashes: Int = 64, rowsPerBand: Int = 4,

@@ -221,6 +221,79 @@ object Similarity {
     dotD(av, bv)
   })
 
+  /** Precomputed hyperplane sign planes, cached per (tables, bits, extraBits,
+    * dim) per executor JVM. Row j is a bitset over all tables' bits: bit
+    * (t*(bits+extraBits)+i) set means hyperplane (t, i) has a negative sign
+    * at vector element j. The hash matches [[hyperplaneSigTableUdf]] exactly
+    * (table key t for the b0 bits, t+1000 for the bx bits), so fused
+    * signatures are bit-identical to the per-table UDFs'.
+    */
+  private object SigPlanes {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Int), Array[Array[Long]]]()
+    def get(tables: Int, bits: Int, extraBits: Int, dim: Int): Array[Array[Long]] =
+      cache.computeIfAbsent((tables, bits, extraBits, dim), _ => build(tables, bits, extraBits, dim))
+    private def build(tables: Int, bits: Int, extraBits: Int, dim: Int): Array[Array[Long]] = {
+      val per = bits + extraBits
+      val words = (tables * per + 63) >>> 6
+      Array.tabulate(dim) { j =>
+        val row = new Array[Long](words)
+        var t = 0
+        while (t < tables) {
+          var i = 0
+          while (i < per) {
+            val tKey = if (i < bits) t else t + 1000
+            val bi = if (i < bits) i else i - bits
+            var h = (tKey.toLong * 0x9e3779b97f4a7c15L) ^
+              ((bi.toLong << 32) | (j.toLong & 0xffffffffL))
+            h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+            if ((h & 1L) != 0L) { val b = t * per + i; row(b >>> 6) |= (1L << (b & 63)) }
+            i += 1
+          }
+          t += 1
+        }
+        row
+      }
+    }
+  }
+
+  /** All tables' (b0, bx) signatures in ONE pass over the vector: one UDF
+    * call (one array deserialization) per row instead of 2×tables, with the
+    * hyperplane signs precomputed into bitset planes rather than hashed in
+    * the hot loop.
+    */
+  private def allSigsUdf(tables: Int, bits: Int, extraBits: Int): UserDefinedFunction =
+    udf((v: Seq[Float]) => {
+      val per = bits + extraBits
+      val total = tables * per
+      val planes = SigPlanes.get(tables, bits, extraBits, v.length)
+      val sums = new Array[Double](total)
+      var j = 0
+      while (j < v.length) {
+        val x = v(j).toDouble
+        val row = planes(j)
+        var b = 0
+        while (b < total) {
+          if (((row(b >>> 6) >>> (b & 63)) & 1L) == 0L) sums(b) += x else sums(b) -= x
+          b += 1
+        }
+        j += 1
+      }
+      val out = new Array[(Int, Long, Long)](tables)
+      var t = 0
+      while (t < tables) {
+        var b0 = 0L
+        var i = 0
+        while (i < bits) { if (sums(t * per + i) > 0) b0 |= (1L << i); i += 1 }
+        var bx = 0L
+        i = 0
+        while (i < extraBits) { if (sums(t * per + bits + i) > 0) bx |= (1L << i); i += 1 }
+        out(t) = (t, b0, bx)
+        t += 1
+      }
+      out.toSeq
+    })
+
   /** Multi-table hyperplane-LSH approximate NN — the 100 TB ANN shape:
     *
     *  - `tables` independent hyperplane families recover the recall a single
@@ -238,16 +311,22 @@ object Similarity {
                   maxBucket: Int = 512, extraBits: Int = 8,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = df.sparkSession
-    val n = df.count()
+    // One materialization of (id, vec): reused by the count, the signature
+    // pass, and both sides of the verification join. localCheckpoint (not
+    // cache) per the plan-registry degradation measured in this repo.
+    val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .localCheckpoint()
+    val n = vecs.count()
     val bits = math.min(40, math.max(bitsMin,
       (math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).ceil.toInt))
 
-    val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val sigs = (0 until tables).map { t =>
-      vecs.select(col("id"), lit(t).as("table"),
-        hyperplaneSigTableUdf(bits, t)(col("v")).as("b0"),
-        hyperplaneSigTableUdf(extraBits, t + 1000)(col("v")).as("bx"))
-    }.reduce(_ unionByName _)
+    // Single fused signature pass: one UDF call per row emits all tables'
+    // (table, b0, bx), exploded into the per-table rows the bucketing needs.
+    // Checkpointed because it feeds both the hot-bucket count and the join.
+    val sigs = vecs
+      .select(col("id"), explode(allSigsUdf(tables, bits, extraBits)(col("v"))).as("s"))
+      .select(col("id"), col("s._1").as("table"), col("s._2").as("b0"), col("s._3").as("bx"))
+      .localCheckpoint()
 
     // hot-bucket split: oversized (table, b0) buckets refine with extra bits
     val counts = sigs.groupBy(col("table"), col("b0"))

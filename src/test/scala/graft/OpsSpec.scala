@@ -43,6 +43,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("minhash LSH r=2/b=32 recalls a borderline Jaccard ~0.5 pair") {
+    val sp = spark; import sp.implicits._
+    // A: t1..t42 -> 40 word-3-gram shingles; B: t1..t29 ++ x1..x12 -> 41
+    // tokens, 39 shingles, 27 common => J = 27/52 ~ 0.519 — right at the
+    // query threshold, where the old r=4/b=16 banding missed ~36% of the
+    // time and r=2/b=32 misses with prob ~1e-4 (deterministic here: fixed
+    // hash family, so collision is a property of the fixture, not luck).
+    val a = (1 to 42).map(i => s"t$i").mkString(" ")
+    val b = ((1 to 29).map(i => s"t$i") ++ (1 to 12).map(i => s"x$i")).mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshExactPairs(docs, "doc_id", "text",
+      rowsPerBand = 2, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("simhash near-dup pairs vs distant docs") {
     val sp = spark; import sp.implicits._
     val base = (1 to 64).map(i => s"token$i").mkString(" ")
