@@ -183,9 +183,12 @@ object SparkEntry {
       Tables.documents(s, d).select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"))),
 
+    // rowsPerBand=2 (b=32): banding knee below the 0.5 threshold, so recall
+    // for pairs at exactly j=0.5 is guaranteed (miss prob ~1e-4), not
+    // fixture-lucky like the r=4/b=16 midpoint-at-0.5 banding
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshExactPairs(Tables.documents(s, d), "doc_id", "text",
-        threshold = 0.5)),
+        rowsPerBand = 2, threshold = 0.5)),
 
     // maxHamming 3: the 4x16-bit banding guarantees recall only for
     // hamming <= 3 (any 4-band split of <=3 flipped bits leaves one intact)

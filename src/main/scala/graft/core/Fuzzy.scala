@@ -102,6 +102,32 @@ object Fuzzy {
     Some(edits)
   }
 
+  /** Classic Levenshtein distance (the `leven` dependency the reference
+    * uses for cover->feature disambiguation, lib/util/feature.js:356-366).
+    */
+  def levenshtein(a: String, b: String): Int = {
+    if (a == b) return 0
+    if (a.isEmpty) return b.length
+    if (b.isEmpty) return a.length
+    val prev = new Array[Int](b.length + 1)
+    val curr = new Array[Int](b.length + 1)
+    var j = 0
+    while (j <= b.length) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= a.length) {
+      curr(0) = i
+      j = 1
+      while (j <= b.length) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        curr(j) = math.min(math.min(curr(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      System.arraycopy(curr, 0, prev, 0, b.length + 1)
+      i += 1
+    }
+    prev(b.length)
+  }
+
   /** Fuzzy weight penalty (reference phrasematch.js:328-345):
     * max((len(original) - ed/2) / len(original), 0.75).
     */

@@ -78,6 +78,81 @@ object Geom {
 
   def toJson(g: Geom): String = mapper.writeValueAsString(toJsonNode(g))
 
+  // --- compact binary codec (WKB-style, engine-internal) ---
+  //
+  // tile_features/features store geometry in this form so the reverse/context
+  // hot joins never parse JSON per candidate row: decode is a single
+  // ByteBuffer sweep into primitive arrays (~20x cheaper than Jackson).
+  // Layout (big-endian): tag byte, then counts (int32) + coords (2 float64
+  // per position), nested per type; GeometryCollection recurses.
+
+  private def writeBin(g: Geom, out: java.io.DataOutputStream): Unit = {
+    def pts(ps: Vector[Pt]): Unit = {
+      out.writeInt(ps.length)
+      ps.foreach { case (x, y) => out.writeDouble(x); out.writeDouble(y) }
+    }
+    def lines(ls: Vector[Vector[Pt]]): Unit = {
+      out.writeInt(ls.length); ls.foreach(pts)
+    }
+    g match {
+      case Point((x, y))       => out.writeByte(1); out.writeDouble(x); out.writeDouble(y)
+      case MultiPoint(ps)      => out.writeByte(2); pts(ps)
+      case LineString(ps)      => out.writeByte(3); pts(ps)
+      case MultiLineString(ls) => out.writeByte(4); lines(ls)
+      case Polygon(rs)         => out.writeByte(5); lines(rs)
+      case MultiPolygon(ps)    => out.writeByte(6); out.writeInt(ps.length); ps.foreach(lines)
+      case Collection(gs)      => out.writeByte(7); out.writeInt(gs.length)
+        gs.foreach(writeBin(_, out))
+    }
+  }
+
+  def toBin(g: Geom): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(64)
+    val out = new java.io.DataOutputStream(bos)
+    writeBin(g, out)
+    out.flush()
+    bos.toByteArray
+  }
+
+  private def readBin(buf: java.nio.ByteBuffer): Geom = {
+    def pts(): Vector[Pt] = {
+      val n = buf.getInt
+      val b = Vector.newBuilder[Pt]; b.sizeHint(n)
+      var i = 0
+      while (i < n) { b += ((buf.getDouble, buf.getDouble)); i += 1 }
+      b.result()
+    }
+    def lines(): Vector[Vector[Pt]] = {
+      val n = buf.getInt
+      val b = Vector.newBuilder[Vector[Pt]]; b.sizeHint(n)
+      var i = 0
+      while (i < n) { b += pts(); i += 1 }
+      b.result()
+    }
+    buf.get() match {
+      case 1 => Point((buf.getDouble, buf.getDouble))
+      case 2 => MultiPoint(pts())
+      case 3 => LineString(pts())
+      case 4 => MultiLineString(lines())
+      case 5 => Polygon(lines())
+      case 6 =>
+        val n = buf.getInt
+        val b = Vector.newBuilder[Vector[Vector[Pt]]]; b.sizeHint(n)
+        var i = 0
+        while (i < n) { b += lines(); i += 1 }
+        MultiPolygon(b.result())
+      case 7 =>
+        val n = buf.getInt
+        val b = Vector.newBuilder[Geom]; b.sizeHint(n)
+        var i = 0
+        while (i < n) { b += readBin(buf); i += 1 }
+        Collection(b.result())
+      case t => throw new IllegalArgumentException(s"bad geom tag: $t")
+    }
+  }
+
+  def fromBin(bytes: Array[Byte]): Geom = readBin(java.nio.ByteBuffer.wrap(bytes))
+
   /** All positions of a geometry, flattened. */
   def allPoints(g: Geom): Vector[Pt] = g match {
     case Point(p)            => Vector(p)

@@ -103,6 +103,87 @@ object Phrases {
     weights.toVector
   }
 
+  // --- P2 mask algebra (reference lib/geocoder/phrasematch.js:407-562) ---
+
+  /** Start/end of the first continuous 1-bit run ((-1,-1) for mask 0). */
+  def findMaskBounds(mask: Int, limit: Int): (Int, Int) = {
+    if (mask == 0) return (-1, -1)
+    var start = -1
+    var end = limit - 1
+    var i = 0
+    var done = false
+    while (i < limit && !done) {
+      if (start == -1) {
+        if ((mask & (1 << i)) != 0) start = i
+      } else if ((mask & (1 << i)) == 0) {
+        end = i - 1
+        done = true
+      }
+      i += 1
+    }
+    (start, end)
+  }
+
+  /** Bitmask covering [start, start+len). */
+  def buildMask(start: Int, len: Int): Int = {
+    var mask = 0
+    var i = 0
+    while (i < len) { mask |= 1 << (start + i); i += 1 }
+    mask
+  }
+
+  /** Masks of normalized-token runs sharing an owner (one original token
+    * expanded by replacement): permutations must cover such a run fully or
+    * not at all (phrasematch.js:448-478).
+    */
+  def requiredMasks(normalized: TokenizedQuery): Vector[Int] = {
+    val ret = mutable.ArrayBuffer.empty[Int]
+    var prev = -1
+    var i = 0
+    while (i < normalized.owner.length) {
+      val curr = normalized.owner(i)
+      if (prev == curr) {
+        val m = buildMask(i - 1, 2)
+        if (ret.nonEmpty && (m & ret.last) != 0) ret(ret.length - 1) |= m
+        else ret += m
+      } else prev = curr
+      i += 1
+    }
+    ret.toVector
+  }
+
+  /** Masks (in pre-normalization token positions) covering gaps left by
+    * token replacements that removed tokens, each extended one token left
+    * or right (phrasematch.js:487-512).
+    */
+  def gapMasks(replaced: TokenizedQuery): Vector[Int] = {
+    val ret = mutable.ArrayBuffer.empty[Int]
+    val len = replaced.tokens.length
+    var gapStart = -1
+    var i = 0
+    while (i < len) {
+      if (replaced.tokens(i).isEmpty) {
+        if (gapStart == -1) gapStart = i
+      } else if (gapStart != -1) {
+        if (gapStart > 0) ret += buildMask(gapStart - 1, i - gapStart + 1)
+        ret += buildMask(gapStart, i - gapStart + 1)
+        gapStart = -1
+      }
+      i += 1
+    }
+    if (gapStart != -1) ret += buildMask(gapStart - 1, len - gapStart + 1)
+    ret.toVector
+  }
+
+  /** True if the mask covers each required window fully or not at all
+    * (phrasematch.js:521-527).
+    */
+  def demandWindows(requiredWindows: Vector[Int], mask: Int): Boolean =
+    requiredWindows.forall { v =>
+      val overlap = mask & v
+      overlap == 0 || overlap == v
+    }
+
   /** A permutation of terms (reference termops.js:639-704). */
   final case class Perm(
       terms: Vector[String],

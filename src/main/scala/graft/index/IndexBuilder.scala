@@ -61,7 +61,7 @@ object IndexBuilder {
           lit(l.config.name).as("layer"), col("z"), col("x"), col("y"),
           col("id").as("feature_id"), col("id24"), col("text"), col("score"),
           col("center_lon").as("f_lon"), col("center_lat").as("f_lat"),
-          col("geometry"))
+          col("geom_bin"), col("geom_type"), col("langTexts"))
       }.reduce(_ unionByName _).cache()
     /** Distinct layer zooms (for point -> per-zoom tile explosion). */
     lazy val zooms: Vector[Int] = layers.map(_.config.zoom).distinct.sorted
@@ -130,6 +130,16 @@ object IndexBuilder {
       case _ => 0
     })
 
+  /** Pre-parsed geometry: the JSON is decoded ONCE at build time into the
+    * engine's compact binary form plus its type tag, so no per-candidate
+    * JSON parse survives in any query path (reverse PIP/distance, forward
+    * context fill, address resolution).
+    */
+  private val geomBinUdf = udf((geojson: String) =>
+    Geom.toBin(Geom.fromJson(geojson)))
+  private val geomTypeUdf = udf((geojson: String) =>
+    Geom.fromJson(geojson).typeName)
+
   def build(spark: SparkSession, layers: Seq[(LayerConfig, Dataset[GeoDoc])]): CarmenIndex = {
     import spark.implicits._
     val built = layers.map { case (cfg, docs0) =>
@@ -147,6 +157,8 @@ object IndexBuilder {
         .drop("center_fixed")
         .withColumn("id24", pmod(abs(col("id")), lit(1L << 24)))
         .withColumn("num_geoms", numGeomsUdf(col("geometry")))
+        .withColumn("geom_bin", geomBinUdf(col("geometry")))
+        .withColumn("geom_type", geomTypeUdf(col("geometry")))
         .cache()
 
       val docCovers = withCovers
@@ -261,11 +273,13 @@ object IndexBuilder {
         .join(phraseIndex, Seq("phrase"))
         .cache()
 
-      // 5. tile_features: explode covers (S8)
+      // 5. tile_features: explode covers (S8); geometry travels pre-parsed
+      // (geom_bin/geom_type), the JSON string stays on `features` only
       val tileFeatures = withCovers
         .select(col("id"), col("id24"), col("text"), col("score"),
           col("centerLon").as("center_lon"), col("centerLat").as("center_lat"),
-          col("geometry"), explode(col("zxy")).as("zxy_str"))
+          col("geom_bin"), col("geom_type"), col("langTexts"),
+          explode(col("zxy")).as("zxy_str"))
         .withColumn("z", split(col("zxy_str"), "/").getItem(0).cast("int"))
         .withColumn("x", split(col("zxy_str"), "/").getItem(1).cast("int"))
         .withColumn("y", split(col("zxy_str"), "/").getItem(2).cast("int"))

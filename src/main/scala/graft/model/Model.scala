@@ -26,9 +26,12 @@ final case class LayerConfig(
     languages: Seq[String] = Nil,        // geocoder_languages (lang_map + I12 fill)
     autoPopulate: Seq[String] = Nil,     // geocoder_languages_from_default
     categories: Set[String] = Set.empty,
+    expectedNumberOrder: String = "",    // geocoder_expected_number_order
+
     geocoderFormat: String = "",         // geocoder_format template
     geocoderInheritScore: Boolean = false, // geocoder_inherit_score
-    geocoderGrantScore: Boolean = true     // geocoder_grant_score
+    geocoderGrantScore: Boolean = true,    // geocoder_grant_score
+    geocoderIgnoreOrder: Boolean = false   // geocoder_ignore_order
 ) {
   def ndxKey: String = name
 
@@ -61,7 +64,11 @@ final case class GeoDoc(
     parityl: Seq[Seq[String]] = Nil,
     parityr: Seq[Seq[String]] = Nil,
     intersections: Seq[Seq[String]] = Nil,  // carmen:intersections
-    langTexts: Map[String, String] = Map.empty // lang -> carmen:text_{lang}
+    langTexts: Map[String, String] = Map.empty, // lang -> carmen:text_{lang}
+    overrides: Map[String, String] = Map.empty, // "override:{type}" -> text
+    // carmen:addressprops: prop -> (address idx -> value); "" deletes the
+    // base prop for that address (reference addresscluster.js:33-50)
+    addressprops: Map[String, Map[Int, String]] = Map.empty
 )
 
 /** One phrase posting grid row (flattened gridstore entry). */
@@ -110,7 +117,9 @@ final case class CoverEntry(
     text: String,
     prefix: Boolean,
     addrNum: String = "",
-    partial: Boolean = false
+    partial: Boolean = false,
+    catMatch: Boolean = false,
+    addrPos: Int = -1
 )
 
 /** One stacked spatial-match result for a query. */

@@ -1,5 +1,7 @@
 package graft.query
 
+import graft.core.{ClosestLang, Fuzzy, Murmur3}
+
 /** place_name assembly — port of the reference getPlaceName
   * (reference lib/geocoder/format-features.js:50-112): either the default
   * "number name, name, ..." join or a geocoder_format template with
@@ -43,6 +45,69 @@ object FormatPlace {
         .replaceFirst(",,", ",")
         .trim
         .replaceFirst(",$", "")
+    }
+  }
+
+  /** getMatchingText (reference format-features.js:383-479): when the
+    * matched synonym differs from the displayed text, recover it via the
+    * grid's source phrase hash, breaking hash ties by Levenshtein distance
+    * to the cover text; suppressed for category matches and when the match
+    * already is the displayed text.
+    */
+  def getMatchingText(requestedLanguage: Option[String], fullText: String,
+                      langTexts: Map[String, String], matchesLanguage: Boolean,
+                      sourcePhraseHash: Int, queryText: String,
+                      categories: Set[String]): Option[String] = {
+    val props: Vector[(String, String)] =
+      ("carmen:text" -> fullText) +:
+        langTexts.toVector.sortBy(_._1).map { case (k, v) => ("carmen:text_" + k, v) }
+    val propMap = props.toMap
+    val closest = requestedLanguage.flatMap(l =>
+      ClosestLang.closestLangLabel(l.replace("-", "_"), props.map(_._1), "carmen:text_"))
+    val textKey = closest.map("carmen:text_" + _).getOrElse("carmen:text")
+    val closestTextFull = propMap.getOrElse(textKey, fullText)
+    val closestText = closestTextFull.split(",")(0)
+    val hasMultiple = closestTextFull.contains(",")
+    val langOk = requestedLanguage match {
+      case Some(rl) => closest.contains(rl.replace("-", "_"))
+      case None => true
+    }
+    if (matchesLanguage && langOk && !hasMultiple) return None
+
+    val textKeys = props.map(_._1)
+    val hashMatches =
+      scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[String]]
+    for (key <- textKeys; src <- propMap(key).split(",") if src.nonEmpty) {
+      if (Murmur3.phraseHash(src) == sourcePhraseHash)
+        hashMatches.getOrElseUpdate(src,
+          scala.collection.mutable.ArrayBuffer.empty[String]) += key
+    }
+    if (hashMatches.isEmpty) return None
+    val bestPhrase =
+      if (hashMatches.size == 1) hashMatches.head._1
+      else {
+        val qt = queryText.toLowerCase
+        hashMatches.keys.map(a => (a, Fuzzy.levenshtein(qt, a.toLowerCase)))
+          .minBy(_._2)._1 // first-encountered min (JS stable sort)
+      }
+    val matchKeys = hashMatches(bestPhrase).toVector
+    var best: Option[String] = requestedLanguage match {
+      case Some(rl) =>
+        ClosestLang.closestLangLabel(rl.replace("-", "_"), matchKeys, "carmen:text_")
+          .map("carmen:text_" + _)
+      case None => Some("carmen:text").filter(matchKeys.contains)
+    }
+    if (best.isEmpty) {
+      best =
+        if (matchKeys.contains("carmen:text") && matchKeys.size == 1)
+          Some("carmen:text")
+        else matchKeys.filter(_ != "carmen:text").sorted.headOption
+    }
+    best.flatMap { b =>
+      val matchingText = bestPhrase.trim
+      if (b == "carmen:text" && categories.contains(matchingText)) None
+      else if (matchingText.isEmpty || matchingText == closestText) None
+      else Some(matchingText)
     }
   }
 }

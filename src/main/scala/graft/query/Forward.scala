@@ -32,7 +32,12 @@ object Forward {
       autocomplete: Boolean = true,
       fuzzy: Boolean = true,
       proximity: Option[(Double, Double)] = None,
-      limitVerify: Int = 10,
+      // V1/V14 equivalent: the reference loads candidates in chunks of
+      // VERIFYMATCH_STACK_LIMIT=20 and backfills until MAX_CONTEXTS_LIMIT=20
+      // good contexts (verifymatch.js:85-227, 301-331); this engine verifies
+      // the top `limitVerify` candidates in ONE batch join and ranks — the
+      // same result set without the driver round-trips
+      limitVerify: Int = 20,
       language: Option[String] = None,
       types: Seq[String] = Nil,                       // F2/F3 layer-type filter
       stacks: Seq[String] = Nil,                      // F2 country-stack filter
@@ -50,12 +55,14 @@ object Forward {
     Fuzzy.editPenalty(original, ed))
 
   /** Subquery window row. addrPos = -1 when the window carries no masked
-    * house number; partial marks a proximity partial-number search.
+    * house number; partial marks a proximity partial-number search. The mask
+    * lives in ORIGINAL query-token space (owner-mapped, P2); editDist > 0
+    * marks a whitespace-corrected hypothesis whose fuzzy budget is spent.
     */
   final case class SubQ(queryId: Long, subquery: String, mask: Int,
                         ender: Boolean, weight: Double, qlen: Int,
                         addrPos: Int, addrNum: String, partial: Boolean,
-                        qsig: String)
+                        qsig: String, numberOrder: String, editDist: Int)
 
   /** Joined phrasematch grid row (input to per-query spatialmatch). */
   final case class PmRow(queryId: Long, layer: String, subquery: String,
@@ -63,7 +70,7 @@ object Forward {
                          qlen: Int, relev: Double, score3: Int,
                          id24: Long, x: Int, y: Int, phraseHash: Int,
                          addrPos: Int, addrNum: String, partial: Boolean,
-                         langSet: String)
+                         langSet: String, numberOrder: String)
 
   /** Spatialmatch output row: one result with its covers. */
   final case class ResultRow(queryId: Long, rank: Int, relev: Double,
@@ -71,7 +78,8 @@ object Forward {
   final case class CoverRow(idx: Int, layer: String, id24: Long, x: Int, y: Int,
                             zoom: Int, relev: Double, score: Double,
                             tmpid: Long, mask: Int, text: String,
-                            addrNum: String, partial: Boolean)
+                            addrNum: String, partial: Boolean, phraseHash: Int,
+                            addrPos: Int, matchesLang: Boolean)
 
   /** Tagged row feeding the per-query verify re-rank (kind: 0=cover,
     * 1=context feature, 2=lead feature). */
@@ -80,12 +88,17 @@ object Forward {
                          zoom: Int, smRelev: Double, scoredist: Double,
                          featureId: Long, lon: Double, lat: Double,
                          display: String, number: String,
-                         fullText: String, fscore: Double)
+                         fullText: String, fscore: Double,
+                         addressPos: Int, fromCluster: Boolean,
+                         interpolated: Boolean, omitted: Boolean,
+                         pos: Int, matchingText: String,
+                         overrides: Map[String, String])
 
   final case class FinalRow(query_id: Long, rank: Int, relev: Double,
                             scoredist: Double, place_name: String,
                             feature_id: Long, center_lon: Double,
-                            center_lat: Double, lead_idx: Int)
+                            center_lat: Double, lead_idx: Int,
+                            matching_text: String)
 
   /** One query-side text-processing group: layers sharing geocoder_tokens /
     * address behavior share one enumerated-subquery set.
@@ -102,6 +115,16 @@ object Forward {
 
   private val onlyDigits = java.util.regex.Pattern.compile("^\\d+$")
   private val digitsHash = java.util.regex.Pattern.compile("^[\\d#]+$")
+  // isShortAddressQuery (format-features.js:358-374)
+  private val shortAddressPattern =
+    java.util.regex.Pattern.compile("^[\\d#]+\\s*\\S{0,2}$")
+
+  /** Per-result output metadata carried through ranking to formatting. */
+  final case class Meta(placeName: String, fid: Long, lon: Double, lat: Double,
+                        leadIdx: Int, number: String, omitted: Boolean,
+                        interpolated: Boolean, addrKey: Option[String],
+                        matchingText: String, leadText: String,
+                        leadScore: Double)
 
   /** T18 whitespace corrector (reference lib/util/whitespace.js): split
     * letters+digits fused tokens ("fake123" -> "fake 123") as a second
@@ -110,89 +133,140 @@ object Forward {
   private val numberLetter = java.util.regex.Pattern.compile(
     "^(([A-Za-z\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u00FF]{3,})([0-9]+)|([0-9]+)([A-Za-z\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u00FF]{4,}))$")
 
-  private def whitespaceCorrect(tokens: Vector[String]): Option[Vector[String]] = {
+  /** T18 whitespace corrector over a TokenizedQuery (reference
+    * lib/util/whitespace.js): the split parts stay joined by a space inside
+    * ONE token, so normalizeQuery re-splits them under the same owner and
+    * the owner-mapped masks land on the original glued token.
+    */
+  private def whitespaceCorrectQ(q: TokenizedQuery): Option[TokenizedQuery] = {
     var found = false
-    val out = tokens.flatMap { t =>
+    val newTokens = q.tokens.map { t =>
       val m = numberLetter.matcher(t)
       if (m.matches()) {
         found = true
-        if (m.group(2) != null) Vector(m.group(2), m.group(3))
-        else Vector(m.group(4), m.group(5))
-      } else Vector(t)
+        if (m.group(2) != null) s"${m.group(2)} ${m.group(3)}"
+        else s"${m.group(4)} ${m.group(5)}"
+      } else t
     }
-    if (found) Some(out) else None
+    if (found) Some(q.copy(tokens = newTokens)) else None
   }
 
   def subqueries(spark: SparkSession, queries: DataFrame,
                  groups: Vector[QueryGroup],
-                 proximityDefined: Boolean): DataFrame = {
+                 proximityDefined: Boolean,
+                 fuzzyEnabled: Boolean = true): DataFrame = {
     import spark.implicits._
     val groupsBc = spark.sparkContext.broadcast(groups)
     queries.select(col("query_id").cast("long"), col("query").cast("string"))
       .as[(Long, String)]
       .flatMap { case (qid, q) =>
         groupsBc.value.iterator.flatMap { g =>
-          val replaced = TokenReplace.replaceToken(g.replacers.complexQuery,
-            TextNormalize.tokenize(q))
-          // simple word replacements apply inside the reference's fuzzy
-          // matcher (carmen-core word_replacements); here, to the query terms
-          val tokens = g.replacers.simple(
-            TextNormalize.normalizeQuery(replaced).tokens)
-          if (tokens.isEmpty) Iterator.empty
+          val origQ = TextNormalize.tokenize(q)
+          val origLen = origQ.tokens.length
+          if (origLen == 0) Iterator.empty
           else {
-            val qlen = tokens.length
-            var partial = false
-            def permsOf(tokens: Vector[String]): Vector[Phrases.Perm] =
-              if (!g.geocoderAddress) Phrases.permutations(tokens, None, all = false)
-              else if (tokens.length > 1) {
-                // housenum-tokenized + intersection perms
-                // (reference phrasematch.js:191-206)
-                var all = Phrases.permutations(tokens, None, all = false)
-                for (v <- AddressTokens.numTokenize(tokens))
-                  all = all ++ Phrases.permutations(v.tokens, None, all = false,
-                    addressPosition = Some(v.position),
-                    addressNumber = Some(v.number))
-                all = AddressTokens.addressPermutations(all)
-                if (g.intersectionToken.nonEmpty)
-                  all = all ++ AddressTokens.intersectionPermutations(tokens,
-                    g.intersectionToken)
-                all
-              } else if (onlyDigits.matcher(tokens.head).matches() && proximityDefined) {
-                // proximity partial-number search (phrasematch.js:207-217)
-                partial = true
-                var all = Phrases.permutations(tokens, None, all = false)
-                for (v <- AddressTokens.numTokenizePrefix(tokens))
-                  all = all ++ Phrases.permutations(v, None, all = false)
-                all
-              } else Phrases.permutations(tokens, None, all = false)
-            // T18: one whitespace-corrected hypothesis for address groups
-            // (reference phrasematch.js:62-77, lib/util/whitespace.js);
-            // its masks/weights live in its own token space — dedupe by
-            // (terms, ender, mask) across hypotheses like alreadyTried
-            val hypotheses: Vector[(Vector[Phrases.Perm], Int)] = {
-              val base = (permsOf(tokens), qlen)
-              if (!g.geocoderAddress) Vector(base)
-              else whitespaceCorrect(tokens) match {
-                case Some(corrected)
-                  if corrected.length <= TextNormalize.MaxQueryTokens =>
-                  Vector(base, (permsOf(corrected), corrected.length))
-                case _ => Vector(base)
-              }
-            }
-            val tried = scala.collection.mutable.HashSet.empty[(Vector[String], Boolean, Int)]
-            hypotheses.iterator.flatMap { case (perms, hlen) =>
-              perms.iterator
-                // no number-only single-token phrases in address indexes
-                // unless partial-number (phrasematch.js:224-226)
-                .filter(p => !g.geocoderAddress || partial || p.terms.length != 1 ||
-                  !digitsHash.matcher(p.terms.head).matches())
-                .filter(p => tried.add((p.terms, p.ender, p.mask)))
-                .map { p =>
-                  SubQ(qid, p.terms.mkString(" "), p.mask, p.ender,
-                    Integer.bitCount(p.mask).toDouble / hlen, hlen,
-                    p.addressPos.getOrElse(-1), p.addressNumber.getOrElse(""),
-                    partial, g.qsig)
+            // hypotheses (reference phrasematch.js:52-77): the base query,
+            // plus — for address groups with fuzzy budget — ONE
+            // whitespace-corrected hypothesis at initialDistance 1
+            val maxDistance =
+              if (fuzzyEnabled && origLen <= 8 /* MAX_CORRECTION_LENGTH */) 1 else 0
+            val hyps: Vector[(TokenizedQuery, Int)] =
+              if (g.geocoderAddress && maxDistance > 0)
+                whitespaceCorrectQ(origQ) match {
+                  case Some(corr) => Vector((origQ, 0), (corr, 1))
+                  case None => Vector((origQ, 0))
                 }
+              else Vector((origQ, 0))
+            val tried = scala.collection.mutable.HashSet.empty[(Vector[String], Boolean, Int)]
+            hyps.iterator.zipWithIndex.flatMap { case ((hq, initDist), h) =>
+              // per-hypothesis text processing (phrasematch.js:79-96): complex
+              // replacement, gap masks over the pre-normalization positions,
+              // owner-tracked normalization, simple word replacement
+              val replaced = TokenReplace.replaceToken(g.replacers.complexQuery, hq)
+              val gaps = Phrases.gapMasks(replaced)
+              val normalized = TextNormalize.normalizeQuery(replaced)
+              val tokens = g.replacers.simple(normalized.tokens)
+              if (tokens.isEmpty) Iterator.empty
+              else {
+                val owner = normalized.owner
+                val nlen = tokens.length
+                // token runs sharing an owner must be covered whole
+                // (requiredMasks/demandWindows, phrasematch.js:190, 224)
+                val required = Phrases.requiredMasks(normalized)
+                var partial = false
+                val perms: Vector[Phrases.Perm] =
+                  if (!g.geocoderAddress) Phrases.permutations(tokens, None, all = false)
+                  else if (tokens.length > 1) {
+                    // housenum-tokenized + intersection perms
+                    // (reference phrasematch.js:191-206)
+                    var all = Phrases.permutations(tokens, None, all = false)
+                    for (v <- AddressTokens.numTokenize(tokens))
+                      all = all ++ Phrases.permutations(v.tokens, None, all = false,
+                        addressPosition = Some(v.position),
+                        addressNumber = Some(v.number))
+                    all = AddressTokens.addressPermutations(all)
+                    if (g.intersectionToken.nonEmpty)
+                      all = all ++ AddressTokens.intersectionPermutations(tokens,
+                        g.intersectionToken)
+                    all
+                  } else if (onlyDigits.matcher(tokens.head).matches() && proximityDefined) {
+                    // proximity partial-number search (phrasematch.js:207-217)
+                    partial = true
+                    var all = Phrases.permutations(tokens, None, all = false)
+                    for (v <- AddressTokens.numTokenizePrefix(tokens))
+                      all = all ++ Phrases.permutations(v, None, all = false)
+                    all
+                  } else Phrases.permutations(tokens, None, all = false)
+                perms.iterator
+                  .filter(p => p.mask != 0 && Phrases.demandWindows(required, p.mask))
+                  // no number-only single-token phrases in address indexes
+                  // unless partial-number (phrasematch.js:224-226)
+                  .filter(p => !g.geocoderAddress || partial || p.terms.length != 1 ||
+                    !digitsHash.matcher(p.terms.head).matches())
+                  // cross-hypothesis dedupe (alreadyTried, phrasematch.js:228-231)
+                  .filter { p =>
+                    val key = (p.terms, p.ender, p.mask)
+                    val seen = tried.contains(key)
+                    tried += key
+                    !(h > 0 && seen)
+                  }
+                  .flatMap { p =>
+                    // P1/P2: remap the window mask from normalized-token space
+                    // to ORIGINAL query-token space via the owner array
+                    // (phrasematch.js:271-283); ender windows reaching the last
+                    // normalized token mask out to the original query end
+                    val lim = Phrases.findMaskBounds(p.mask, nlen)
+                    val maskBegin = owner(lim._1)
+                    val origMask =
+                      if (p.ender && lim._2 == owner.length - 1)
+                        Phrases.buildMask(maskBegin, origLen - maskBegin)
+                      else
+                        Phrases.buildMask(maskBegin, 1 + owner(lim._2) - maskBegin)
+                    // coverGaps (phrasematch.js:536-562): if replacement
+                    // removed tokens adjacent to this window, also emit
+                    // variants whose masks consume the gap positions
+                    val additions = scala.collection.mutable.HashSet(origMask)
+                    val masks = origMask +: gaps.flatMap { gm =>
+                      if ((gm & origMask) != 0) {
+                        val m = gm | origMask
+                        if (additions.add(m)) Some(m) else None
+                      } else None
+                    }
+                    val subqText = p.terms.mkString(" ")
+                    masks.iterator.map { m =>
+                      // weight = covered original-token span / original query
+                      // length (phrasematch.js:324-326), times the edit
+                      // penalty when the hypothesis spent fuzz budget
+                      val b = Phrases.findMaskBounds(m, TextNormalize.MaxQueryTokens)
+                      var weight = (b._2 - b._1 + 1).toDouble / origLen
+                      if (initDist > 0) weight *= Fuzzy.editPenalty(subqText, initDist)
+                      SubQ(qid, subqText, m, p.ender, weight, origLen,
+                        p.addressPos.map(owner(_)).getOrElse(-1),
+                        p.addressNumber.getOrElse(""),
+                        partial, g.qsig, p.numberOrder.getOrElse(""), initDist)
+                    }
+                  }
+              }
             }
           }
         }
@@ -203,13 +277,17 @@ object Forward {
   final case class LeadRaw(
       query_id: Long, position: Int, tmpid: Long, idx: Int, mask: Int,
       relev: Double, text: String, zoom: Int, smRelev: Double,
-      scoredist: Double, addrNum: String, partial: Boolean,
+      scoredist: Double, addrNum: String, partial: Boolean, addrPos: Int,
+      phraseHash: Int, matchesLang: Boolean,
       featureId: Long, lon: Double, lat: Double, display: String,
-      fFullText: String, fScore: Double,
-      fGeometry: String, fAddrnum: Seq[Seq[String]], fRangetype: String,
+      fFullText: String, fScore: Double, fLangTexts: Map[String, String],
+      fOverrides: Map[String, String],
+      fAddressprops: Map[String, Map[Int, String]],
+      fGeomBin: Array[Byte], fAddrnum: Seq[Seq[String]], fRangetype: String,
       fLfromhn: Seq[Seq[String]], fLtohn: Seq[Seq[String]],
       fRfromhn: Seq[Seq[String]], fRtohn: Seq[Seq[String]],
       fParityl: Seq[Seq[String]], fParityr: Seq[Seq[String]],
+      fIntersections: Seq[Seq[String]],
       addressLayer: Boolean)
 
   final case class LeadOut(
@@ -217,27 +295,123 @@ object Forward {
       mask: Int, relev: Double, text: String, zoom: Int, smRelev: Double,
       scoredist: Double, featureId: Long, lon: Double, lat: Double,
       display: String, number: String, fullText: String, fscore: Double,
-      addrPenalty: Boolean)
+      addrPenalty: Boolean,
+      // V12 sort keys (reference sortContext verifymatch.js:1003-1053)
+      addressPos: Int = -1, fromCluster: Boolean = false,
+      interpolated: Boolean = false, omitted: Boolean = false,
+      // O1 matching_text (format-features.js:383-479)
+      matchingText: String = "",
+      // "override:{type}" feature props (verifymatch.js:597-631)
+      overrides: Map[String, String] = Map.empty)
+
+  /** Per-layer text info for verify/format (simple replacer, intersection
+    * token, category set).
+    */
+  final case class LayerTextInfo(simple: SimpleReplacer,
+                                 intersectionToken: String,
+                                 categories: Set[String])
 
   /** Address-cluster/ITP resolution for one lead feature (reference
-    * verifymatch.js:397-492): exact cluster match, then range interpolation,
-    * then a street-fallback 0.99 relevance penalty; partial-number searches
-    * use prefix matching with a proximity pick.
+    * verifymatch.js:363-492): exact intersection cross-street snap, exact
+    * cluster match, then range interpolation, then a street-fallback 0.99
+    * relevance penalty; partial-number searches use prefix matching with a
+    * proximity pick. Also computes the O1 language-selected display text
+    * and matching_text.
+    *
+    * @param layerText per-layer text info — intersection matching tokenizes
+    *                  the stored street names with the layer's simple
+    *                  replacer (verifymatch.js:377)
     */
   private def resolveLead(r: LeadRaw,
-                          proximity: Option[(Double, Double)]): LeadOut = {
+                          proximity: Option[(Double, Double)],
+                          language: Option[String],
+                          layerText: Map[Int, LayerTextInfo]): LeadOut = {
+    val info = layerText.getOrElse(r.idx,
+      LayerTextInfo(SimpleReplacer(Map.empty), "and", Set.empty))
+    // O1: language-aware text selection (closest-lang getText,
+    // format-features.js:93)
+    val langDisplay =
+      if (language.isEmpty || r.fLangTexts.isEmpty || r.featureId < 0) r.display
+      else ClosestLang.getText(language,
+        ("carmen:text" -> r.fFullText) +: r.fLangTexts.toVector.sortBy(_._1)
+          .map { case (k, v) => ("carmen:text_" + k, v) })._1
+    // O1: matching_text recovery (format-features.js:383-479)
+    val matchingText =
+      if (r.featureId < 0 || r.fFullText.isEmpty) ""
+      else FormatPlace.getMatchingText(language, r.fFullText, r.fLangTexts,
+        r.matchesLang, r.phraseHash, r.text, info.categories).getOrElse("")
     val noPenalty = LeadOut(r.query_id, r.position, 2, r.tmpid, r.idx, r.mask,
       r.relev, r.text, r.zoom, r.smRelev, r.scoredist, r.featureId, r.lon,
-      r.lat, r.display, number = "", fullText = r.fFullText,
-      fscore = r.fScore, addrPenalty = false)
-    val hasAddressData = r.fAddrnum.nonEmpty || r.fRangetype.nonEmpty
-    if (!r.addressLayer || r.featureId < 0 || !hasAddressData) return noPenalty
-    if (r.addrNum.isEmpty && !r.partial) return noPenalty
+      r.lat, langDisplay, number = "", fullText = r.fFullText,
+      fscore = r.fScore, addrPenalty = false, addressPos = r.addrPos,
+      matchingText = matchingText,
+      overrides = r.fOverrides.collect {
+        case (k, v) if k.startsWith("override:") && v.nonEmpty =>
+          k.stripPrefix("override:") -> v
+      })
+    if (!r.addressLayer || r.featureId < 0) return noPenalty
 
-    val parts: Vector[Geom] = Geom.fromJson(r.fGeometry) match {
-      case Geom.Collection(gs) => gs
-      case _ => Vector.empty
+    // pre-parsed binary geometry: no JSON parse per candidate
+    val parts: Vector[Geom] =
+      if (r.fGeomBin.isEmpty) Vector.empty
+      else Geom.fromBin(r.fGeomBin) match {
+        case Geom.Collection(gs) => gs
+        // pre-addrTransform intersection docs carry a bare MultiPoint
+        case mp: Geom.MultiPoint => Vector(mp)
+        case _ => Vector.empty
+      }
+
+    // V3 intersection resolution (verifymatch.js:363-395): "+intersection
+    // f st nw , 9th st" covers snap to the exact cross-street point from
+    // carmen:intersections / the aligned MultiPoint part
+    if (r.text.startsWith("+intersection") && r.fIntersections.nonEmpty) {
+      val intersectionQuery =
+        r.text.split(",")(0).replace("+intersection", "").trim
+      val simple = info.simple
+      val itoken = info.intersectionToken
+      var found: Option[(Int, Int, String)] = None
+      var i = 0
+      while (found.isEmpty && i < r.fIntersections.length) {
+        val row = r.fIntersections(i)
+        var j = 0
+        while (found.isEmpty && j < row.length) {
+          val toks = simple(TextNormalize.tokenize(row(j)).tokens)
+          if (intersectionQuery == toks.mkString(" "))
+            found = Some((i, j, row(j)))
+          j += 1
+        }
+        i += 1
+      }
+      found.foreach { case (gi, ji, crossStreet) =>
+        val pt = parts.lift(gi).flatMap {
+          case Geom.MultiPoint(pts) => pts.lift(ji)
+          case _ => None
+        }
+        pt.foreach { case (ilon, ilat) =>
+          // place-name street part: the feature synonym whose tokenized form
+          // contains the queried street (format-features.js:489-500); the
+          // queried street is the cover text after the comma
+          // (verifymatch.js:639-645)
+          val queryText = {
+            val ci = r.text.indexOf(',')
+            if (ci >= 0) r.text.substring(ci + 1).trim else ""
+          }
+          var streetName = ""
+          r.fFullText.split(",").foreach { syn =>
+            val t = simple(TextNormalize.tokenize(syn).tokens).mkString(" ")
+            if (queryText.nonEmpty && t.contains(queryText)) streetName = syn
+          }
+          val display = s"$crossStreet $itoken ${streetName.trim}".trim
+          // intersection display wins over matching_text (format-features.js:87-92)
+          return noPenalty.copy(lon = ilon, lat = ilat, display = display,
+            matchingText = "")
+        }
+      }
     }
+
+    val hasAddressData = r.fAddrnum.nonEmpty || r.fRangetype.nonEmpty
+    if (!hasAddressData) return noPenalty
+    if (r.addrNum.isEmpty && !r.partial) return noPenalty
     val clusterParts = r.fAddrnum.toVector.zipWithIndex.map { case (nums, k) =>
       parts.lift(k) match {
         case Some(Geom.MultiPoint(pts)) =>
@@ -250,7 +424,8 @@ object Forward {
     // the subquery text; otherwise the numTokenize-captured original token
     val number = if (r.partial) r.text.split(" ").head else r.addrNum
 
-    val resolved: Option[(Double, Double, String)] =
+    // (lon, lat, number, fromCluster, interpolated, omitted, addressIdx)
+    val resolved: Option[(Double, Double, String, Boolean, Boolean, Boolean, Option[Int])] =
       if (r.partial && clusterParts.nonEmpty) {
         val distFn: (Double, Double) => Double = (lon, lat) => proximity match {
           case Some((plon, plat)) =>
@@ -260,13 +435,14 @@ object Forward {
         // partial matches display the matched cluster number
         // (verifymatch.js:410 via forwardPrefixFiltered's carmen:address)
         AddressCluster.forwardPrefixFiltered(clusterParts, number, distFn)
-          .map(p => (p._1.lon, p._1.lat, p._1.number))
+          .map(p => (p._1.lon, p._1.lat, p._1.number, true, false, false, None))
       } else {
         // exact matches display the QUERY's number token: the reference sets
         // carmen:address = address.number before the lookup
         // (verifymatch.js:418) and only queens style overrides it
         val exact = AddressCluster.forward(clusterParts, number).headOption
-          .map(m => (m.lon, m.lat, number))
+          .map(m => (m.lon, m.lat, number, true, false, false,
+            Some(m.addressIdx): Option[Int]))
         exact.orElse {
           if (r.fRangetype.nonEmpty) {
             val itpParts = parts.zipWithIndex.map { case (g, k) =>
@@ -281,14 +457,35 @@ object Forward {
                 isMultiLineString = lines.nonEmpty)
             }
             AddressItp.forward(itpParts, number)
-              .map(p => (p.lon, p.lat, number))
+              .map(p => (p.lon, p.lat, number, false, p.interpolated, p.omitted,
+                None: Option[Int]))
           } else None
         }
       }
 
     resolved match {
-      case Some((lon, lat, matchedNum)) =>
-        noPenalty.copy(lon = lon, lat = lat, number = matchedNum)
+      case Some((lon, lat, matchedNum, fromCluster, interp, omit, addrIdx)) =>
+        // per-address property overrides (carmen:addressprops,
+        // addresscluster.js:33-50): the matched address index selects its
+        // override:{type} values; "" deletes the base override
+        val effRaw = addrIdx match {
+          case Some(i) =>
+            r.fAddressprops.foldLeft(r.fOverrides) { case (acc, (prop, m)) =>
+              m.get(i) match {
+                case Some("") => acc - prop
+                case Some(v) => acc.updated(prop, v)
+                case None => acc
+              }
+            }
+          case None => r.fOverrides
+        }
+        val eff = effRaw.collect {
+          case (k, v) if k.startsWith("override:") && v.nonEmpty =>
+            k.stripPrefix("override:") -> v
+        }
+        noPenalty.copy(lon = lon, lat = lat, number = matchedNum,
+          fromCluster = fromCluster, interpolated = interp, omitted = omit,
+          overrides = eff)
       case None =>
         // street fallback (verifymatch.js:456-460, 489-492)
         noPenalty.copy(addrPenalty = true)
@@ -317,8 +514,8 @@ object Forward {
     // without registering with the CacheManager — repeated forward() calls
     // with cache() degrade as every new plan is matched against all
     // previously cached plans (measured 10s -> 27s per call)
-    val subs = subqueries(spark, queries, groups, opts.proximity.isDefined)
-      .localCheckpoint()
+    val subs = subqueries(spark, queries, groups, opts.proximity.isDefined,
+      opts.fuzzy).localCheckpoint()
 
     def tagSig(dfOf: IndexBuilder.LayerIndex => DataFrame): DataFrame =
       searchIndex.layers.map { l =>
@@ -371,7 +568,8 @@ object Forward {
       if (!opts.fuzzy) withPrefix
       else {
         val qVariants = subs.as[SubQ]
-          .filter(s => s.addrPos < 0 && !s.partial) // fuzzy on plain windows
+          // fuzzy on plain windows whose hypothesis has fuzz budget left
+          .filter(s => s.addrPos < 0 && !s.partial && s.editDist == 0)
           .flatMap { s =>
             Fuzzy.phraseVariants(s.subquery).map(v =>
               FuzzVar(s.queryId, s.subquery, s.mask, s.ender, s.weight, s.qlen,
@@ -389,6 +587,8 @@ object Forward {
           .withColumn("addrPos", lit(-1))
           .withColumn("addrNum", lit(""))
           .withColumn("partial", lit(false))
+          .withColumn("numberOrder", lit(""))
+          .withColumn("editDist", lit(1))
         val ap = searchIndex.allPostings
         val fuzzyMatched = ap.join(cand,
             ap("layer") === cand("cand_layer") &&
@@ -423,7 +623,7 @@ object Forward {
       col("is_prefix").as("prefix"), col("qlen"), col("relev"), col("score3"),
       col("id24"), col("x"), col("y"), col("phrase_hash").as("phraseHash"),
       col("addrPos"), col("addrNum"), col("partial"),
-      col("lang_set").as("langSet")
+      col("lang_set").as("langSet"), col("numberOrder")
     ).as[PmRow]
 
     val proximity = opts.proximity
@@ -436,11 +636,18 @@ object Forward {
       val rows = it.toVector
       val qlen = rows.iterator.map(_.qlen).min // base hypothesis length
       val pms = rows.groupBy(r => (r.layer, r.mask, r.subquery, r.prefix,
-          r.addrNum, r.partial))
-        .map { case ((layer, mask, subq, pfx, addrNum, partial), grs) =>
+          r.addrNum, r.partial, r.numberOrder, r.addrPos))
+        .map { case ((layer, mask, subq, pfx, addrNum, partial, numberOrder, addrPos), grs) =>
           val (cfg, scorefactor) = cfgs(layer)
+          // number-order penalty (phrasematch.js:357-369): the layer expects
+          // the house number first/last and this match has it elsewhere
+          val w0 = grs.head.weight
+          val weight =
+            if (cfg.expectedNumberOrder.nonEmpty && numberOrder.nonEmpty &&
+              numberOrder != cfg.expectedNumberOrder) w0 * 0.99
+            else w0
           StackCoalesce.Pm(layer, cfg.idx, ndxs(layer), cfg.nonOverlapping,
-            cfg.zoom, subq, mask, grs.head.weight, pfx,
+            cfg.zoom, subq, mask, weight, pfx,
             math.max(scorefactor, 1.0),
             grs.map { g =>
               val target = langTargetBc.value.getOrElse(layer, "default")
@@ -450,14 +657,15 @@ object Forward {
                 matchesLanguage = g.langSet.isEmpty ||
                   langs.contains("all") || langs.contains(target))
             }.toVector,
-            addrNum, partial)
+            addrNum, partial, catMatch = cfg.categories.contains(subq),
+            addrPos = addrPos)
         }.toVector
       val sms = StackCoalesce.spatialmatch(qlen, pms, proximity, bboxB)
       sms.take(limitVerify).zipWithIndex.map { case (sm, i) =>
         ResultRow(qid, i + 1, JsNum.roundTo(sm.relev, 4), sm.scoredist,
           sm.covers.map(c => CoverRow(c.idx, layerOf(cfgs, c.idx), c.id24,
             c.x, c.y, c.zoom, c.relev, c.score, c.tmpid, c.mask, c.text,
-            c.addrNum, c.partial)))
+            c.addrNum, c.partial, c.phraseHash, c.addrPos, c.matchesLanguage)))
       }.iterator
     }.toDF()
       // reused by cover/lead/context branches below — materialize once
@@ -470,13 +678,18 @@ object Forward {
       l.features.select(lit(l.config.idx).as("f_idx"), col("id24").as("f_id24"),
         col("id").as("feature_id"), col("text").as("f_text"),
         col("center_lon"), col("center_lat"),
-        col("geometry").as("f_geometry"),
+        col("geom_bin").as("f_geom_bin"),
         col("score").as("f_score"),
+        col("langTexts").as("f_lang_texts"),
+        col("overrides").as("f_overrides"),
+        col("addressprops").as("f_addressprops"),
         col("addressnumber").as("f_addrnum"),
         col("rangetype").as("f_rangetype"),
         col("lfromhn").as("f_lfromhn"), col("ltohn").as("f_ltohn"),
         col("rfromhn").as("f_rfromhn"), col("rtohn").as("f_rtohn"),
         col("parityl").as("f_parityl"), col("parityr").as("f_parityr"),
+        col("intersections").as("f_intersections"),
+        col("zxy").cast("array<string>").as("f_zxy"),
         lit(l.config.geocoderAddress).as("f_is_address"))
     }.reduce(_ unionByName _)
 
@@ -488,23 +701,72 @@ object Forward {
 
     // lead rows (kind 2): pos==0 cover joined to its feature on the
     // (idx, id24) key — a plain equi-join so AQE broadcasts small layers
-    // and shuffles big ones (address/POI layers cannot broadcast at scale)
-    val leadJoined = exploded.where(col("pos") === 0)
+    // and shuffles big ones (address/POI layers cannot broadcast at scale).
+    // S4 cover check (feature.js:164): the feature's zxy covers must
+    // include the cover tile — prunes id24 hash collisions up front.
+    val leadJoined0 = exploded.where(col("pos") === 0)
       .join(featuresAll,
         exploded("idx") === featuresAll("f_idx") &&
-          exploded("id24") === featuresAll("f_id24"), "left")
+          exploded("id24") === featuresAll("f_id24") &&
+          array_contains(featuresAll("f_zxy"),
+            concat_ws("/", exploded("zoom"), exploded("x"), exploded("y"))),
+        "left")
+    // V6 cover->feature disambiguation (feature.js:314-369): when several
+    // features share id24 + tile, prefer the one whose 3-bit score
+    // round-trips to the cover score, then the one with a synonym whose
+    // phraseHash matches, closest by Levenshtein to the cover text.
+    val sfByIdx: Map[Int, Double] = index.layers.map(l =>
+      l.config.idx -> l.scorefactor).toMap
+    val sfBc = spark.sparkContext.broadcast(sfByIdx)
+    val disambUdf = udf((idx: Int, coverScore: Double, phraseHash: Int,
+                         coverText: String, fScore: Double, fText: String) => {
+      val sf = sfBc.value.getOrElse(idx, 0.0)
+      val scoreMatch = sf == 0.0 || {
+        val enc = GridCodec.encode3BitLogScale(fScore, sf)
+        GridCodec.decode3BitLogScaleRounded(enc, sf) == JsNum.jsRound(coverScore)
+      }
+      var hashMatch = false
+      var minLev = Int.MaxValue
+      fText.split(",").foreach { syn =>
+        if (Murmur3.phraseHash(syn) == phraseHash) {
+          hashMatch = true
+          val d = Fuzzy.levenshtein(coverText, syn.trim.toLowerCase)
+          if (d < minLev) minLev = d
+        }
+      }
+      (if (scoreMatch) 0 else 1, if (hashMatch) 0 else 1, minLev)
+    })
+    val leadJoined = leadJoined0
+      .withColumn("disamb", when(col("f_id24").isNull,
+          struct(lit(0).as("_1"), lit(0).as("_2"), lit(0).as("_3")))
+        .otherwise(disambUdf(col("idx"), col("score"), col("phraseHash"),
+          col("text"), coalesce(col("f_score"), lit(0.0)),
+          coalesce(col("f_text"), lit("")))))
+      .withColumn("pickf", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"), col("position"))
+          .orderBy(col("disamb._1"), col("disamb._2"), col("disamb._3"),
+            col("feature_id"))))
+      .where(col("pickf") === 1)
+      .drop("disamb", "pickf")
     val emptyNested = lit(array()).cast("array<array<string>>")
     val leadRaw = leadJoined.select(col("query_id"), col("position"),
       col("tmpid"), col("idx"), col("mask"), col("relev"), col("text"),
       col("zoom"), col("smRelev"), col("scoredist"), col("addrNum"),
-      col("partial"),
+      col("partial"), col("addrPos"), col("phraseHash"), col("matchesLang"),
       coalesce(col("feature_id"), lit(-1L)).as("featureId"),
       coalesce(col("center_lon"), lit(0.0)).as("lon"),
       coalesce(col("center_lat"), lit(0.0)).as("lat"),
       coalesce(substring_index(col("f_text"), ",", 1), lit("")).as("display"),
       coalesce(col("f_text"), lit("")).as("fFullText"),
       coalesce(col("f_score"), lit(0.0)).as("fScore"),
-      coalesce(col("f_geometry"), lit("")).as("fGeometry"),
+      coalesce(col("f_lang_texts"),
+        map().cast("map<string,string>")).as("fLangTexts"),
+      coalesce(col("f_overrides"),
+        map().cast("map<string,string>")).as("fOverrides"),
+      coalesce(col("f_addressprops"),
+        map().cast("map<string,map<int,string>>")).as("fAddressprops"),
+      coalesce(col("f_geom_bin"), lit(Array.emptyByteArray)).as("fGeomBin"),
       coalesce(col("f_addrnum"), emptyNested).as("fAddrnum"),
       coalesce(col("f_rangetype"), lit("")).as("fRangetype"),
       coalesce(col("f_lfromhn"), emptyNested).as("fLfromhn"),
@@ -513,16 +775,32 @@ object Forward {
       coalesce(col("f_rtohn"), emptyNested).as("fRtohn"),
       coalesce(col("f_parityl"), emptyNested).as("fParityl"),
       coalesce(col("f_parityr"), emptyNested).as("fParityr"),
+      coalesce(col("f_intersections"), emptyNested).as("fIntersections"),
       coalesce(col("f_is_address"), lit(false)).as("addressLayer"))
       .as[LeadRaw]
-    val leadOut = leadRaw.map(r => resolveLead(r, proximity)).toDF()
+    // per-layer text info for V3 intersection matching + O1 formatting
+    // inside resolveLead
+    val layerText: Map[Int, LayerTextInfo] = index.layers.map { l =>
+      l.config.idx -> LayerTextInfo(
+        IndexBuilder.replacersFor(l.config).simple,
+        if (l.config.intersectionToken.nonEmpty) l.config.intersectionToken
+        else "and",
+        l.config.categories)
+    }.toMap
+    val layerTextBc = spark.sparkContext.broadcast(layerText)
+    val language = opts.language
+    val leadOut = leadRaw
+      .map(r => resolveLead(r, proximity, language, layerTextBc.value))
+      .toDF()
       .localCheckpoint()
 
     val leadRows = leadOut.select(col("query_id"), col("position"), col("kind"),
       col("tmpid"), col("idx"), col("mask"), col("relev"), col("text"),
       col("zoom"), col("smRelev"), col("scoredist"), col("featureId"),
       col("lon"), col("lat"), col("display"), col("number"),
-      col("fullText"), col("fscore"))
+      col("fullText"), col("fscore"), col("addressPos"), col("fromCluster"),
+      col("interpolated"), col("omitted"), lit(0).as("pos"),
+      col("matchingText"), col("overrides"))
 
     // cover rows (kind 0); the pos==0 cover takes the street-fallback
     // penalty when its address number failed to resolve
@@ -537,10 +815,23 @@ object Forward {
       col("text"), col("zoom"), col("smRelev"), col("scoredist"),
       lit(-1L).as("featureId"), lit(0.0).as("lon"), lit(0.0).as("lat"),
       lit("").as("display"), lit("").as("number"),
-      lit("").as("fullText"), lit(0.0).as("fscore"))
+      lit("").as("fullText"), lit(0.0).as("fscore"),
+      lit(-1).as("addressPos"), lit(false).as("fromCluster"),
+      lit(false).as("interpolated"), lit(false).as("omitted"),
+      col("pos"), lit("").as("matchingText"),
+      map().cast("map<string,string>").as("overrides"))
 
     // context rows (kind 1): reverse-lookup of the lead center in every
-    // layer coarser than the lead (reference verifymatch.js:542-559)
+    // layer coarser than the lead (reference verifymatch.js:542-559).
+    // O1: context display text is language-selected (format-features.js:93).
+    val langSelUdf = udf((text: String, langTexts: Map[String, String]) =>
+      ClosestLang.getText(language,
+        ("carmen:text" -> text) +: langTexts.toVector.sortBy(_._1)
+          .map { case (k, v) => ("carmen:text_" + k, v) })._1)
+    val ctxDisplay =
+      if (language.isEmpty) substring_index(col("text"), ",", 1)
+      else langSelUdf(col("text"),
+        coalesce(col("lang_texts"), map().cast("map<string,string>")))
     val leadPts = leadRows.select(col("query_id"), col("position"),
       col("idx").as("lead_idx"), col("lon"), col("lat"))
     val contextRows =
@@ -555,9 +846,13 @@ object Forward {
           col("text"), lit(0).as("zoom"), lit(0.0).as("smRelev"),
           lit(0.0).as("scoredist"), col("feature_id").as("featureId"),
           col("center_lon").as("lon"), col("center_lat").as("lat"),
-          substring_index(col("text"), ",", 1).as("display"),
+          ctxDisplay.as("display"),
           lit("").as("number"), col("text").as("fullText"),
-          col("score").as("fscore"))
+          col("score").as("fscore"),
+          lit(-1).as("addressPos"), lit(false).as("fromCluster"),
+          lit(false).as("interpolated"), lit(false).as("omitted"),
+          lit(0).as("pos"), lit("").as("matchingText"),
+          map().cast("map<string,string>").as("overrides"))
 
     val tagged = coverRows.unionByName(leadRows).unionByName(contextRows)
       .as[VRowT]
@@ -565,68 +860,136 @@ object Forward {
     val limit = opts.limit
     val finals = tagged.groupByKey(_.query_id).flatMapGroups { (qid, it) =>
       val (cfgs, ndxs) = cfgBc.value
+      // idx-keyed config lookups, built once per query group (not
+      // collectFirst per row)
+      val cfgByIdx: Map[Int, (String, LayerConfig)] =
+        cfgs.map { case (name, (c, _)) => c.idx -> ((name, c)) }
       def ndxOf(idx: Int): Int =
-        cfgs.collectFirst { case (name, (c, _)) if c.idx == idx => ndxs(name) }
-          .getOrElse(idx)
-      val rows = it.toVector
+        cfgByIdx.get(idx).map { case (name, _) => ndxs(name) }.getOrElse(idx)
       def typFmtOf(idx: Int): (String, String) =
-        cfgs.collectFirst { case (_, (c, _)) if c.idx == idx =>
-          (c.typ, c.geocoderFormat) }.getOrElse(("", ""))
+        cfgByIdx.get(idx).map { case (_, c) => (c.typ, c.geocoderFormat) }
+          .getOrElse(("", ""))
+      def flagsOf(idx: Int): (Boolean, Boolean, Boolean) =
+        cfgByIdx.get(idx).map { case (_, c) =>
+          (c.geocoderInheritScore, c.geocoderGrantScore, c.geocoderIgnoreOrder) }
+          .getOrElse((false, true, false))
+      val rows = it.toVector
       val byPos = rows.groupBy(_.position)
+      // peer leads across positions (override:{type} peer bump,
+      // verifymatch.js:617-631)
+      val peerList: Vector[(String, String)] = byPos.values
+        .flatMap(_.find(_.kind == 2))
+        .map(l => (typFmtOf(l.idx)._1, l.fullText)).toVector
       val vresults = byPos.toVector.sortBy(_._1).flatMap { case (posn, rs) =>
-        val covers = rs.filter(_.kind == 0).map(r =>
+        // spatialmatch cover order (pos) — covers.head is the lead cover
+        val covers = rs.filter(_.kind == 0).sortBy(_.pos).map(r =>
           VerifyRank.VCover(r.tmpid, r.idx, r.mask, r.relev, r.text, r.zoom))
         val leadOpt = rs.find(_.kind == 2)
         leadOpt.map { lead =>
-          def flagsOf(idx: Int): (Boolean, Boolean) =
-            cfgs.collectFirst { case (_, (c2, _)) if c2.idx == idx =>
-              (c2.geocoderInheritScore, c2.geocoderGrantScore) }
-              .getOrElse((false, true))
-          val ctx = rs.filter(_.kind == 1).sortBy(-_.idx)
+          // override:{type} substitution (verifymatch.js:597-631): the lead's
+          // override prop replaces a context element's text; the replaced
+          // element no longer matches any cover (no tmpid), and each peer
+          // lead already carrying the override text earns a loose-relev bump
+          var bumps = 0
+          val ctx: Vector[(VRowT, Boolean)] =
+            rs.filter(_.kind == 1).sortBy(-_.idx).map { r =>
+              val typ = typFmtOf(r.idx)._1
+              lead.overrides.get(typ) match {
+                case Some(ov) if r.fullText != ov =>
+                  bumps += peerList.count(p => p._1 == typ && p._2 == ov)
+                  (r.copy(display = ov.split(",")(0).trim, fullText = ov,
+                    fscore = 0.0, featureId = lead.featureId), true)
+                case _ => (r, false)
+              }
+            }.toVector
           val context = {
-            val (li, lg) = flagsOf(lead.idx)
+            val (li, lg, lo) = flagsOf(lead.idx)
             VerifyRank.VCtx(lead.tmpid, lead.idx, ndxOf(lead.idx),
-              lead.display, fullText = lead.fullText, score = lead.fscore,
-              inheritScore = li, grantScore = lg) +:
-              ctx.map { r =>
-                val (ci, cg) = flagsOf(r.idx)
-                VerifyRank.VCtx(r.tmpid, r.idx, ndxOf(r.idx), r.display,
-                  fullText = r.fullText, score = r.fscore,
+              lead.display, ignoreOrder = lo, fullText = lead.fullText,
+              score = lead.fscore, inheritScore = li, grantScore = lg) +:
+              ctx.map { case (r, replaced) =>
+                val (ci, cg, cio) = flagsOf(r.idx)
+                // replaced elements carry no cover identity (tmpid/idx -1)
+                VerifyRank.VCtx(if (replaced) -1L else r.tmpid,
+                  if (replaced) -1 else r.idx, ndxOf(r.idx), r.display,
+                  ignoreOrder = cio, fullText = r.fullText, score = r.fscore,
                   inheritScore = ci, grantScore = cg)
-              }.toVector
+              }
           }
           // O1: geocoder_format template of the lead layer, else the
-          // default "number name, name..." join (format-features.js:50-112)
-          val ctxFeats = (lead +: ctx).map(r =>
+          // default "number name, name..." join (format-features.js:50-112).
+          // place_name is always built with matched=false (format-features
+          // .js:162); the recovered matching_text is a SEPARATE output field
+          // (matching_place_name uses it, place_name never does).
+          val ctxFeats = (lead +: ctx.map(_._1)).map(r =>
             FormatPlace.CtxFeat(typFmtOf(r.idx)._1, r.display, r.number)).toVector
           val placeName = FormatPlace.placeName(ctxFeats, typFmtOf(lead.idx)._2)
+          // O2 address-unique dedupe key (format-features.js:320-374):
+          // cover texts + context extids; skipped for short address queries
+          // ("100 ma"-style autocomplete) to avoid over-deduping
+          val shortAddress = covers.headOption.exists(c =>
+            shortAddressPattern.matcher(c.text).matches())
+          val addrKey =
+            if (lead.number.nonEmpty && !shortAddress) {
+              val coverTexts = covers.map(" " + _.text).mkString
+              val ctxIds = ctx.map { case (r, _) =>
+                s"${typFmtOf(r.idx)._1}.${r.featureId}" }
+              Some("_" + (coverTexts +: ctxIds).mkString(":"))
+            } else None
           (VerifyRank.VResult(posn, lead.smRelev, lead.scoredist,
             covers.toVector, context, lead.featureId, ndxOf(lead.idx),
-            addressNull = lead.number.isEmpty),
-            (placeName, lead.featureId, lead.lon, lead.lat, lead.idx))
+            addressNull = lead.number.isEmpty,
+            hasAddress = lead.number.nonEmpty, addressPos = lead.addressPos,
+            fromCluster = lead.fromCluster, interpolated = lead.interpolated,
+            omitted = lead.omitted, looseBumps = bumps),
+            Meta(placeName, lead.featureId, lead.lon, lead.lat, lead.idx,
+              lead.number, lead.omitted, lead.interpolated, addrKey,
+              lead.matchingText, lead.fullText, lead.fscore))
         }
       }
       val meta = vresults.map { case (vr, m) => vr.position -> m }.toMap
-      val ranked = VerifyRank.rank(vresults.map(_._1), proximity.isDefined)
-      // dedupe by place_name keeping the best (reference format-features O2)
-      val seen = scala.collection.mutable.HashSet.empty[String]
-      ranked.iterator.flatMap { v =>
-        val (placeName, fid, lon, lat, leadIdx) = meta(v.position)
-        if (seen.contains(placeName)) None
-        else {
-          seen += placeName
-          Some((v, placeName, fid, lon, lat, leadIdx))
+      val ranked0 = VerifyRank.rank(vresults.map(_._1), proximity.isDefined)
+      // ghost-text dedupe (verifymatch.js:659-672): drop negative-score
+      // results whose text duplicates a better non-ghost result's text
+      val ghostSeen = scala.collection.mutable.HashSet.empty[String]
+      val ranked = ranked0.filter { v =>
+        val m = meta(v.position)
+        val keep = m.leadScore >= 0 || !ghostSeen.contains(m.leadText)
+        if (m.leadScore >= 0) ghostSeen += m.leadText
+        keep
+      }
+      // O2 dedupe with preference (format-features.js:267-299): dedupe by
+      // place_name + address-unique key; an omitted/interpolated result is
+      // replaced by a non-omitted/non-interpolated duplicate; a street
+      // fallback never replaces a resolved address
+      val byKey = scala.collection.mutable.HashMap.empty[String, Int]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(VerifyRank.Verified, Meta)]
+      ranked.foreach { v =>
+        val m = meta(v.position)
+        val keys = m.placeName +: m.addrKey.toVector
+        keys.iterator.flatMap(byKey.get(_)).nextOption() match {
+          case Some(i) =>
+            val (_, pm) = out(i)
+            if (pm.number.nonEmpty && m.number.isEmpty) ()
+            else if (pm.omitted && !m.omitted) out(i) = (v, m)
+            else if (pm.interpolated && !m.interpolated) out(i) = (v, m)
+          case None =>
+            keys.foreach(k => byKey(k) = out.length)
+            out += ((v, m))
         }
-      }.take(limit).zipWithIndex.map { case ((v, placeName, fid, lon, lat, leadIdx), i) =>
-        FinalRow(qid, i + 1, v.relevance, v.scoredist, placeName, fid, lon, lat,
-          leadIdx)
+      }
+      val resorted =
+        if (out.length != ranked.length) out.sortBy(-_._1.relevance) else out
+      resorted.iterator.take(limit).zipWithIndex.map { case ((v, m), i) =>
+        FinalRow(qid, i + 1, v.relevance, v.scoredist, m.placeName, m.fid,
+          m.lon, m.lat, m.leadIdx, m.matchingText)
       }
     }
 
     finals.toDF()
       .select(col("query_id"), col("rank"), col("relev"), col("scoredist"),
         col("place_name"), col("feature_id"), col("center_lon"),
-        col("center_lat"), col("lead_idx"))
+        col("center_lat"), col("lead_idx"), col("matching_text"))
       .orderBy(col("query_id"), col("rank"))
   }
 

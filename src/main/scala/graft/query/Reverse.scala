@@ -21,11 +21,14 @@ import graft.ops.GeoOps
   */
 object Reverse {
 
-  private val pipUdf = udf((geojson: String, lon: Double, lat: Double) =>
-    Geom.contains(Geom.fromJson(geojson), lon, lat))
+  // PIP/distance over the PRE-PARSED binary geometry column (geom_bin,
+  // written at index-build time): no JSON parse in any per-candidate path —
+  // this join is hit by every reverse geocode and every forward context fill.
+  private val pipUdf = udf((bin: Array[Byte], lon: Double, lat: Double) =>
+    Geom.contains(Geom.fromBin(bin), lon, lat))
 
-  private val geomDistUdf = udf((geojson: String, lon: Double, lat: Double) =>
-    Geom.distanceMiles(Geom.fromJson(geojson), lon, lat))
+  private val geomDistUdf = udf((bin: Array[Byte], lon: Double, lat: Double) =>
+    Geom.distanceMiles(Geom.fromBin(bin), lon, lat))
 
   /** distscore as a Column (reference lib/util/proximity.js:192-198). */
   def distscoreCol(dist: Column, score: Column): Column =
@@ -47,7 +50,7 @@ object Reverse {
     picksDetailed(points, index, keys, ReverseOptions(radiusMiles = radiusMiles))
       .select(keys.map(col) ++ Seq(col("idx"), col("layer"), col("feature_id"),
         col("text"), col("dist_miles"), col("score"), col("center_lon"),
-        col("center_lat")): _*)
+        col("center_lat"), col("lang_texts")): _*)
 
   /** picks with score/geometry-type columns, score-range filtering, and the
     * per-layer distscore ordering of reverse score mode
@@ -76,10 +79,10 @@ object Reverse {
         tiles("ty") === tf("y"))
       .drop(tf("z"))
       .where(col("score") >= 0) // ghost filter (context.js:518-526)
-      .withColumn("direct_hit", pipUdf(col("geometry"), col("lon"), col("lat")))
+      .withColumn("direct_hit", pipUdf(col("geom_bin"), col("lon"), col("lat")))
       .withColumn("dist_miles",
         when(col("direct_hit"), lit(0.0)).otherwise(
-          geomDistUdf(col("geometry"), col("lon"), col("lat"))))
+          geomDistUdf(col("geom_bin"), col("lon"), col("lat"))))
       .where(col("direct_hit") || col("dist_miles") <= radiusCol)
     val cand = opts.scoreFilter match {
       case Some((lo, hi)) => cand0.where(col("score") > lo && col("score") <= hi)
@@ -96,10 +99,10 @@ object Reverse {
           .partitionBy((keys :+ "idx").map(col): _*)
           .orderBy(ordering: _*)))
       .where(col("pick") === 1)
-      .withColumn("geom_type", get_json_object(col("geometry"), "$.type"))
       .select(keys.map(col) ++ Seq(col("idx"), col("layer"), col("feature_id"),
         col("text"), col("dist_miles"), col("score"), col("geom_type"),
-        col("f_lon").as("center_lon"), col("f_lat").as("center_lat")): _*)
+        col("f_lon").as("center_lon"), col("f_lat").as("center_lat"),
+        col("langTexts").as("lang_texts")): _*)
   }
 
   final case class ReverseOptions(
@@ -117,7 +120,8 @@ object Reverse {
 
   final case class StackedRow(query_id: Long, place_name: String,
                               feature_id: Long, layer: String,
-                              center_lon: Double, center_lat: Double)
+                              center_lon: Double, center_lat: Double,
+                              rank: Int = 1)
 
   /** stackFeatures (reference context.js:168-254), single-type-per-layer
     * model: walk picks fine->coarse, claim one feature per type; a later
@@ -125,7 +129,30 @@ object Reverse {
     * (or higher-scored in score mode), and requested-type filtering applies
     * until the first claim.
     */
-  def stackFeatures(rows: Vector[PickRow], opts: ReverseOptions): Option[StackedRow] = {
+  def stackFeatures(rows: Vector[PickRow], opts: ReverseOptions): Option[StackedRow] =
+    stackContexts(rows, opts).headOption
+
+  /** stackFeatures + R10 context splitting (reference geocode.js:299-310):
+    * the context hierarchy becomes suffix contexts
+    * [[poi,place,country],[place,country],[country]], each relevance 1,
+    * ranked; `opts.limit` bounds how many are returned.
+    */
+  def stackContexts(rows: Vector[PickRow], opts: ReverseOptions): Vector[StackedRow] = {
+    stackMemo(rows, opts) match {
+      case None => Vector.empty
+      case Some(context) =>
+        (0 until math.min(math.max(opts.limit, 1), context.length)).map { i =>
+          val suffix = context.drop(i)
+          val lead = suffix.head
+          StackedRow(lead.query_id,
+            suffix.map(f => f.text.split(",")(0)).mkString(", "),
+            lead.feature_id, lead.layer, lead.center_lon, lead.center_lat,
+            rank = i + 1)
+        }.toVector
+    }
+  }
+
+  private def stackMemo(rows: Vector[PickRow], opts: ReverseOptions): Option[Vector[PickRow]] = {
     val wanted = opts.types.toSet
     val scoreMode = opts.reverseMode == "score"
     val memo = scala.collection.mutable.LinkedHashMap.empty[String, PickRow]
@@ -148,13 +175,7 @@ object Reverse {
       }
     }
     if (memo.isEmpty) None
-    else {
-      val context = memo.values.toVector.distinct.sortBy(-_.idx)
-      val lead = context.head
-      Some(StackedRow(lead.query_id,
-        context.map(f => f.text.split(",")(0)).mkString(", "),
-        lead.feature_id, lead.layer, lead.center_lon, lead.center_lat))
-    }
+    else Some(memo.values.toVector.distinct.sortBy(-_.idx))
   }
 
   private def pickRows(spark: SparkSession, index: CarmenIndex,
@@ -178,12 +199,16 @@ object Reverse {
     reverseWithOptions(spark, index, points,
       ReverseOptions(radiusMiles = radiusMiles))
 
-  /** Post-stack address snap row (R7 input). */
-  final case class SnapRaw(query_id: Long, place_name: String,
+  /** Post-stack address snap row (R7/R6 input). */
+  final case class SnapRaw(query_id: Long, rank: Int, place_name: String,
                            feature_id: Long, layer: String,
                            center_lon: Double, center_lat: Double,
                            q_lon: Double, q_lat: Double,
-                           fGeometry: String, fAddrnum: Seq[Seq[String]])
+                           fGeomBin: Array[Byte], fAddrnum: Seq[Seq[String]],
+                           fRangetype: String,
+                           fLfromhn: Seq[Seq[String]], fLtohn: Seq[Seq[String]],
+                           fRfromhn: Seq[Seq[String]], fRtohn: Seq[Seq[String]],
+                           fParityl: Seq[Seq[String]], fParityr: Seq[Seq[String]])
 
   def reverseWithOptions(spark: SparkSession, index: CarmenIndex,
                          points: DataFrame, opts: ReverseOptions): DataFrame = {
@@ -192,60 +217,110 @@ object Reverse {
     val optsB = opts
     val stacked = pickRows(spark, index, pts, opts)
       .groupByKey(_.query_id)
-      .flatMapGroups((_, it) => stackFeatures(it.toVector, optsB).iterator)
+      .flatMapGroups((_, it) => stackContexts(it.toVector, optsB).iterator)
       .toDF()
 
     val addressLayers = index.layers.filter(_.config.geocoderAddress)
-    val base = stacked.select(col("query_id"), col("place_name"),
+    val base = stacked.select(col("query_id"), col("rank"), col("place_name"),
       col("feature_id"), col("layer"), col("center_lon"), col("center_lat"))
     if (addressLayers.isEmpty) base
     else {
-      // R7 addresscluster.reverse (reference addresscluster.js:228-273):
-      // leads on address layers snap to the nearest cluster point and
-      // prepend its number
+      // R7 addresscluster.reverse + R6 ITP arbitration (reference
+      // addresscluster.js:228-273, context.js:694-716): leads on address
+      // layers snap to the nearest cluster point and/or interpolated range
+      // point; the ITP point wins when it is closer to the query AND more
+      // than 200 m from the cluster point.
+      val emptyNested = lit(array()).cast("array<array<string>>")
       val feats = addressLayers.map { l =>
         l.features.select(lit(l.config.name).as("layer"),
-          col("id").as("feature_id"), col("geometry").as("fGeometry"),
-          col("addressnumber").as("fAddrnum"))
+          col("id").as("feature_id"), col("geom_bin").as("fGeomBin"),
+          col("addressnumber").as("fAddrnum"),
+          col("rangetype").as("fRangetype"),
+          col("lfromhn").as("fLfromhn"), col("ltohn").as("fLtohn"),
+          col("rfromhn").as("fRfromhn"), col("rtohn").as("fRtohn"),
+          col("parityl").as("fParityl"), col("parityr").as("fParityr"))
       }.reduce(_ unionByName _)
       val raw = stacked
         .join(pts.withColumnRenamed("lon", "q_lon").withColumnRenamed("lat", "q_lat"),
           Seq("query_id"))
         .join(feats, Seq("layer", "feature_id"), "left")
-        .select(col("query_id"), col("place_name"), col("feature_id"),
-          col("layer"), col("center_lon"), col("center_lat"),
+        .select(col("query_id"), col("rank"), col("place_name"),
+          col("feature_id"), col("layer"), col("center_lon"), col("center_lat"),
           col("q_lon"), col("q_lat"),
-          coalesce(col("fGeometry"), lit("")).as("fGeometry"),
-          coalesce(col("fAddrnum"), lit(array()).cast("array<array<string>>"))
-            .as("fAddrnum"))
+          coalesce(col("fGeomBin"), lit(Array.emptyByteArray)).as("fGeomBin"),
+          coalesce(col("fAddrnum"), emptyNested).as("fAddrnum"),
+          coalesce(col("fRangetype"), lit("")).as("fRangetype"),
+          coalesce(col("fLfromhn"), emptyNested).as("fLfromhn"),
+          coalesce(col("fLtohn"), emptyNested).as("fLtohn"),
+          coalesce(col("fRfromhn"), emptyNested).as("fRfromhn"),
+          coalesce(col("fRtohn"), emptyNested).as("fRtohn"),
+          coalesce(col("fParityl"), emptyNested).as("fParityl"),
+          coalesce(col("fParityr"), emptyNested).as("fParityr"))
         .as[SnapRaw]
       raw.map { r =>
-        val snapped =
-          if (r.fAddrnum.isEmpty || r.fGeometry.isEmpty) None
-          else {
-            val parts = Geom.fromJson(r.fGeometry) match {
-              case Geom.Collection(gs) =>
-                r.fAddrnum.toVector.zipWithIndex.map { case (nums, k) =>
-                  gs.lift(k) match {
-                    case Some(Geom.MultiPoint(mp)) =>
-                      AddressCluster.Part(nums.toVector, mp)
-                    case _ => AddressCluster.Part(nums.toVector, Vector.empty,
-                      isMultiPoint = false)
-                  }
-                }
-              case _ => Vector.empty
-            }
-            AddressCluster.reverse(parts, r.q_lon, r.q_lat)
+        val parts: Vector[Geom] =
+          if (r.fGeomBin.isEmpty) Vector.empty
+          else Geom.fromBin(r.fGeomBin) match {
+            case Geom.Collection(gs) => gs
+            case _ => Vector.empty
           }
-        snapped match {
-          case Some(m) => StackedRow(r.query_id, s"${m.number} ${r.place_name}",
-            r.feature_id, r.layer, m.lon, m.lat)
+        // addrpt: nearest cluster point (R7)
+        val addrpt =
+          if (r.fAddrnum.isEmpty || parts.isEmpty) None
+          else AddressCluster.reverse(
+            r.fAddrnum.toVector.zipWithIndex.map { case (nums, k) =>
+              parts.lift(k) match {
+                case Some(Geom.MultiPoint(mp)) => AddressCluster.Part(nums.toVector, mp)
+                case _ => AddressCluster.Part(nums.toVector, Vector.empty,
+                  isMultiPoint = false)
+              }
+            }, r.q_lon, r.q_lat)
+        // addritp: interpolated point on the nearest range line (V8)
+        val addritp =
+          if (r.fRangetype.isEmpty || parts.isEmpty) None
+          else {
+            val itpParts = parts.zipWithIndex.map { case (g, k) =>
+              val lines = g match {
+                case Geom.MultiLineString(ls) => ls
+                case _ => Vector.empty[Vector[(Double, Double)]]
+              }
+              def at(v: Seq[Seq[String]]): Vector[String] =
+                if (k < v.length) v(k).toVector else Vector.empty
+              AddressItp.Part(lines, at(r.fLfromhn), at(r.fLtohn),
+                at(r.fRfromhn), at(r.fRtohn), at(r.fParityl), at(r.fParityr),
+                isMultiLineString = lines.nonEmpty)
+            }
+            AddressItp.reverse(itpParts, r.q_lon, r.q_lat)
+          }
+        def km(lon1: Double, lat1: Double, lon2: Double, lat2: Double) =
+          Mercator.haversineMiles(lon1, lat1, lon2, lat2) * 1.609344
+        // R6 arbitration (context.js:703-716)
+        val chosen: Option[(Option[String], Double, Double)] = (addrpt, addritp) match {
+          case (Some(pt), Some((inum, ilon, ilat))) =>
+            val qToItp = km(r.q_lon, r.q_lat, ilon, ilat)
+            val qToPt = km(r.q_lon, r.q_lat, pt.lon, pt.lat)
+            val ptToItp = km(pt.lon, pt.lat, ilon, ilat)
+            if (qToItp < qToPt && ptToItp > 0.2)
+              Some((inum.map(_.toString), ilon, ilat))
+            else Some((Some(pt.number), pt.lon, pt.lat))
+          case (Some(pt), None) => Some((Some(pt.number), pt.lon, pt.lat))
+          case (None, Some((inum, ilon, ilat))) =>
+            Some((inum.map(_.toString), ilon, ilat))
+          case _ => None
+        }
+        chosen match {
+          case Some((Some(num), lon, lat)) =>
+            StackedRow(r.query_id, s"$num ${r.place_name}", r.feature_id,
+              r.layer, lon, lat, r.rank)
+          case Some((None, lon, lat)) =>
+            StackedRow(r.query_id, r.place_name, r.feature_id, r.layer,
+              lon, lat, r.rank)
           case None => StackedRow(r.query_id, r.place_name, r.feature_id,
-            r.layer, r.center_lon, r.center_lat)
+            r.layer, r.center_lon, r.center_lat, r.rank)
         }
       }.toDF()
-        .select(col("query_id"), col("place_name"), col("feature_id"),
-          col("layer"), col("center_lon"), col("center_lat"))
+        .select(col("query_id"), col("rank"), col("place_name"),
+          col("feature_id"), col("layer"), col("center_lon"), col("center_lat"))
     }
   }
 
@@ -280,8 +355,8 @@ object Reverse {
       .drop(tf("z"))
       .where(col("score") >= 0)
       .withColumn("dist_miles", when(
-        pipUdf(col("geometry"), col("lon"), col("lat")), lit(0.0)).otherwise(
-        geomDistUdf(col("geometry"), col("lon"), col("lat"))))
+        pipUdf(col("geom_bin"), col("lon"), col("lat")), lit(0.0)).otherwise(
+        geomDistUdf(col("geom_bin"), col("lon"), col("lat"))))
     val filtered = opts.scoreFilter match {
       case Some((lo, hi)) => cand.where(col("score") > lo && col("score") <= hi)
       case None => cand

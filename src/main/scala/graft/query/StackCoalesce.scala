@@ -32,7 +32,9 @@ object StackCoalesce {
       scorefactor: Double,
       grids: Vector[GridRow],
       addrNum: String = "",     // numTokenize-captured house number token
-      partial: Boolean = false  // proximity partial-number search
+      partial: Boolean = false, // proximity partial-number search
+      catMatch: Boolean = false,// subquery matches a layer category
+      addrPos: Int = -1         // number-token position in the query (V12 sort)
   )
 
   /** One inverted-index grid row (decoded). */
@@ -118,8 +120,12 @@ object StackCoalesce {
           // verifymatch.js:239) — order by contribution, most specific first
           val covers = entries.result()
             .sortBy(c => (-c.relev, -c.zoom, -c.idx))
-          results += StackResult(0L, JsNum.roundTo(relevSum, 8),
-            covers.head.scoredist, covers)
+          // C8: partial-number stacks boost the stack scoredist x300 so
+          // nearby bare-number address matches surface despite their
+          // uninformative score (reference spatialmatch.js:193-198)
+          val sd = covers.head.scoredist
+          val boosted = if (covers.exists(_.partial)) sd * 300 else sd
+          results += StackResult(0L, JsNum.roundTo(relevSum, 8), boosted, covers)
         }
       }
     }
@@ -172,7 +178,8 @@ object StackCoalesce {
       distance = dist, scoredist = scoredist,
       matchesLanguage = g.matchesLanguage, phraseHash = g.phraseHash,
       zoom = pm.zoom, text = pm.subquery, prefix = pm.prefix,
-      addrNum = pm.addrNum, partial = pm.partial)
+      addrNum = pm.addrNum, partial = pm.partial, catMatch = pm.catMatch,
+      addrPos = pm.addrPos)
   }
 
   private def tileCenterLon(x: Int, z: Int): Double =
@@ -216,6 +223,15 @@ object StackCoalesce {
     val stacks = stackable(pms)
     val all = stacks.flatMap(s => coalesceStack(s, proximity, bbox, cap = 4))
       .map(r => rebalance(queryLength, r))
+      // category bump: a small relevance bump for queries matching a layer's
+      // geocoder_categories, clamped at 1 (reference phrasematch.js:348-355
+      // computes the flag; the "small score bump" + its >1 clamp are
+      // documented in CHANGELOG.md 25.8.1 and docs/data-sources.md:28)
+      .map { r =>
+        if (r.covers.exists(_.catMatch))
+          r.copy(relev = math.min(JsNum.roundTo(r.relev + 0.01, 8), 1.0))
+        else r
+      }
       .sortBy { r =>
         val c = r.covers.head
         (-r.relev, -r.scoredist, c.idx, -avgIdx(r),

@@ -38,14 +38,28 @@ object VerifyRank {
     t.nonEmpty && c.nonEmpty && c.contains(t)
   }
 
-  /** One spatialmatch result awaiting verification. */
+  /** One spatialmatch result awaiting verification. The address flags feed
+    * the full sortContext tie-break chain (V12).
+    */
   final case class VResult(position: Int, smRelev: Double, scoredist: Double,
                            covers: Vector[VCover], context: Vector[VCtx],
                            leadFeatureId: Long, leadNdx: Int,
-                           addressNull: Boolean = true)
+                           addressNull: Boolean = true,
+                           hasAddress: Boolean = false, addressPos: Int = -1,
+                           fromCluster: Boolean = false,
+                           interpolated: Boolean = false,
+                           omitted: Boolean = false,
+                           // override:{type} peer bumps: each adds
+                           // 1/MAX_QUERY_TOKENS to this result's loose cover
+                           // relev, clamped at 1 (verifymatch.js:617-631)
+                           looseBumps: Int = 0)
 
   final case class Verified(position: Int, relevance: Double, scoredist: Double,
-                            typeindex: Int, leadFeatureId: Long)
+                            typeindex: Int, leadFeatureId: Long,
+                            hasAddress: Boolean = false, addressPos: Int = -1,
+                            fromCluster: Boolean = false,
+                            interpolated: Boolean = false,
+                            omitted: Boolean = false)
 
   /** verifyContext (reference verifymatch.js:749-977). `strict` are this
     * result's own covers; `loose` the best cover per tmpid across all
@@ -79,12 +93,16 @@ object VerifyRank {
 
     val strictByIdx = strict.values.map(c => c.idx -> c).toMap
 
+    var haveLastMatched = false
+    var lastMatchedIgnore = false
     var c = 0
     while (c < context.length) {
       var backy = false
       var closeButNoCigar = false
-      val ignoreOrder = false // geocoder_ignore_order unsupported layers yet
       val feat = context(c)
+      // geocoder_ignore_order: either side of the comparison opts out of the
+      // backy direction penalty (verifymatch.js:804-811)
+      val ignoreOrder = haveLastMatched && (feat.ignoreOrder || lastMatchedIgnore)
       var matchedOpt = strict.get(feat.tmpid).orElse(loose.get(feat.tmpid))
       var skip = false
 
@@ -134,6 +152,8 @@ object VerifyRank {
           lastmask = matched.mask
           lastgroup = feat.ndx
           lastText = matched.text
+          haveLastMatched = true
+          lastMatchedIgnore = feat.ignoreOrder
 
           var penalty = 1.0
           if (backy && !ignoreOrder) penalty *= 0.5
@@ -165,6 +185,18 @@ object VerifyRank {
       val cur = sets.get(cv.tmpid)
       if (cur.isEmpty || cur.get.relev < cv.relev) sets(cv.tmpid) = cv
     }
+    // override:{type} peer bumps on the shared loose set
+    // (verifymatch.js:617-631; applied up front rather than interleaved)
+    for (r <- results if r.looseBumps > 0; lead <- r.context.headOption;
+         cv <- sets.get(lead.tmpid)) {
+      var relev = cv.relev
+      var i = 0
+      while (i < r.looseBumps) {
+        relev = math.min(relev + 1.0 / 20, 1.0)
+        i += 1
+      }
+      sets(lead.tmpid) = cv.copy(relev = relev)
+    }
     val loose = sets.toMap
 
     val verified = results.flatMap { r =>
@@ -185,13 +217,32 @@ object VerifyRank {
       val scoredist = r.scoredist + (if (squishy > 0) squishy else 0.0)
       if (relevance > 0)
         Some((Verified(r.position, relevance, scoredist, r.leadNdx,
-          r.leadFeatureId), composite))
+          r.leadFeatureId, r.hasAddress, r.addressPos, r.fromCluster,
+          r.interpolated, r.omitted), composite))
       else None
     }
 
-    verified.sortBy { case (v, composite) =>
-      (-v.relevance, -composite, -v.scoredist, v.typeindex, v.position,
-        v.leadFeatureId)
+    // full sortContext chain (reference verifymatch.js:1003-1053):
+    // relevance, relev+scoredist composite, omitted, scoredist, typeindex,
+    // then for address pairs: query position of the number, cluster over
+    // ITP, non-interpolated; finally spatialmatch position and id. (The
+    // reference defers the omitted check past scoredist when the two
+    // results differ in carmen:inside_radius; inside_radius is only set on
+    // proximity radius searches, which this engine folds into scoredist.)
+    verified.sortWith { case ((a, ac), (b, bc)) =>
+      if (a.relevance != b.relevance) a.relevance > b.relevance
+      else if (ac != bc) ac > bc
+      else if (a.omitted != b.omitted) !a.omitted
+      else if (a.scoredist != b.scoredist) a.scoredist > b.scoredist
+      else if (a.typeindex != b.typeindex) a.typeindex < b.typeindex
+      else if (a.hasAddress && b.hasAddress && a.addressPos != b.addressPos)
+        a.addressPos < b.addressPos
+      else if (a.hasAddress && b.hasAddress && a.fromCluster != b.fromCluster)
+        a.fromCluster
+      else if (a.hasAddress && b.hasAddress && a.interpolated != b.interpolated)
+        !a.interpolated
+      else if (a.position != b.position) a.position < b.position
+      else a.leadFeatureId < b.leadFeatureId
     }.map(_._1)
   }
 }
