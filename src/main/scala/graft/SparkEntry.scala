@@ -307,7 +307,7 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("relev"), col("place_name"))
     }),
 
-    // --- multimodal binary columns (decode kernel stubbed; plumbing real) --
+    // --- multimodal binary columns (real PNG/WAV decode kernels) ---------
     "multimodal_features" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(Tables.events(s, d))
       Multimodal.mediaFeatures(media)

@@ -181,4 +181,110 @@ object DocHygiene {
       doc.copy(centerLon = lon, centerLat = lat)
     }
   }
+
+  // ---- I18 addrTransform (reference lib/util/feature.js:15-121) ---------
+
+  /** MultiPoint -> GeometryCollection lifts, parallel-array alignment
+    * checks with the reference's error strings, lowercased address numbers,
+    * and ITP (Multi)LineString lift + range-prop fill.
+    */
+  def addrTransform(doc: GeoDoc): Either[String, GeoDoc] = {
+    var g: Geom = try Geom.fromJson(doc.geometry) catch {
+      case e: Exception => return Left(s"invalid geometry on id:${doc.id}: ${e.getMessage}")
+    }
+    var d = doc
+
+    if (d.addressnumber.nonEmpty) {
+      g match {
+        case mp: Geom.MultiPoint => g = Geom.Collection(Vector(mp))
+        case _: Geom.Collection => ()
+        case _ => return Left("carmen:addressnumber must be MultiPoint or GeometryCollection")
+      }
+      val gs = g.asInstanceOf[Geom.Collection].geoms
+      if (d.addressnumber.length != gs.length)
+        return Left("carmen:addressnumber array must be equal to geometry.geometries array")
+      var i = 0
+      while (i < d.addressnumber.length) {
+        val nums = d.addressnumber(i)
+        if (nums != null && nums.nonEmpty) {
+          gs(i) match {
+            case Geom.MultiPoint(pts) =>
+              if (nums.length != pts.length)
+                return Left("carmen:addressnumber[i] array must be equal to geometry.geometries[i] array")
+            case _ =>
+              return Left("non-null carmen:addressnumbers must parallel with MultiPoint geometries in GeometryCollection")
+          }
+        }
+        i += 1
+      }
+      d = d.copy(addressnumber =
+        d.addressnumber.map(p => if (p == null) p else p.map(s =>
+          if (s == null) s else s.toLowerCase)))
+    }
+
+    if (d.intersections.nonEmpty) {
+      g match {
+        case mp: Geom.MultiPoint => g = Geom.Collection(Vector(mp))
+        case _: Geom.Collection => ()
+        case _ => return Left("carmen:intersections must be MultiPoint or GeometryCollection")
+      }
+      val gs = g.asInstanceOf[Geom.Collection].geoms
+      var i = 0
+      while (i < d.intersections.length) {
+        val names = d.intersections(i)
+        if (names != null && names.nonEmpty) {
+          if (i >= gs.length)
+            return Left("carmen:intersections[i] array must be equal to geometry.geometries[i] array")
+          gs(i) match {
+            case Geom.MultiPoint(pts) =>
+              if (names.length != pts.length)
+                return Left("carmen:intersections[i] array must be equal to geometry.geometries[i] array")
+            case _ =>
+              return Left("non-null carmen:intersections must parallel with MultiPoint geometries in GeometryCollection")
+          }
+        }
+        i += 1
+      }
+    }
+
+    if (d.rangetype.nonEmpty) {
+      g match {
+        case Geom.LineString(pts) =>
+          g = Geom.Collection(Vector(Geom.MultiLineString(Vector(pts))))
+        case Geom.MultiLineString(ls) =>
+          g = Geom.Collection(Vector(Geom.MultiLineString(ls)))
+        case _: Geom.Collection => ()
+        case _ =>
+          return Left("ITP results must be a LineString, MultiLineString, or GeometryCollection")
+      }
+      val gs = g.asInstanceOf[Geom.Collection].geoms
+      if (gs.exists(_.isInstanceOf[Geom.LineString]))
+        return Left("ITP geometries in a GeometryCollection must be MultiLineStrings")
+      def fill(v: Seq[Seq[String]]): Seq[Seq[String]] =
+        gs.indices.map(i => if (i < v.length && v(i) != null) v(i) else Seq.empty[String])
+      d = d.copy(parityl = fill(d.parityl), parityr = fill(d.parityr),
+        lfromhn = fill(d.lfromhn), rfromhn = fill(d.rfromhn),
+        ltohn = fill(d.ltohn), rtohn = fill(d.rtohn))
+    }
+
+    Right(d.copy(geometry = Geom.toJson(g)))
+  }
+
+  /** The standardize front half (reference indexdocs.js:221-226): polygon
+    * rewind (I2), then validation (I1), then addrTransform (I18).
+    * Left = rejection with the reference's error string.
+    */
+  def standardizeDoc(doc: GeoDoc): Either[String, GeoDoc] = {
+    val rewound = try {
+      Geom.fromJson(doc.geometry) match {
+        case p: Geom.Polygon => doc.copy(geometry = Geom.toJson(rewind(p)))
+        case p: Geom.MultiPolygon => doc.copy(geometry = Geom.toJson(rewind(p)))
+        case _ => doc
+      }
+    } catch { case _: Exception => doc } // invalid JSON is caught by validate
+    validate(rewound) match {
+      case Some(err) => Left(err)
+      case None => addrTransform(rewound)
+    }
+  }
 }

@@ -28,12 +28,13 @@ object IndexBuilder {
   /** All built tables for one layer. */
   final case class LayerIndex(
       config: LayerConfig,
-      features: DataFrame,     // id, id24, text, score, geometry, center_lon/lat, zxy
+      features: DataFrame,     // id, id24, text, score, geometry/geom_bin, center_lon/lat, zxy
       postings: DataFrame,     // phrase, phrase_id, lang_set, relev, score3, id24, x, y, phrase_hash
-      tileFeatures: DataFrame, // z, x, y, id, id24, text, score, center_lon/lat, geometry
+      tileFeatures: DataFrame, // z, x, y, id, id24, text, score, center_lon/lat, geom_bin
       scorefactor: Double,     // max score of the layer (3-bit decode factor)
       deletes: DataFrame,      // variant, phrase, layer (fuzzy candidates)
-      prefixes: DataFrame      // pfx, pfx_len, phrase, layer (autocomplete keys)
+      prefixes: DataFrame,     // pfx, pfx_len, phrase, layer (autocomplete keys)
+      quarantine: DataFrame    // id, error (I1/I18 rejects, reference error strings)
   )
 
   /** Max indexed prefix length: longer query prefixes equi-join on their
@@ -144,9 +145,23 @@ object IndexBuilder {
     import spark.implicits._
     val built = layers.map { case (cfg, docs0) =>
       val replBc = spark.sparkContext.broadcast(replacersFor(cfg))
-      // 1. standardize: I5 outlier clamp, tile covers at the layer zoom
-      // (I3/I4), center verification (I6)
-      val docs = docs0.map(DocHygiene.clampRanges _)
+      // 1a. standardize front half (I2 rewind -> I1 validate -> I18
+      // addrTransform) with a quarantine side-output: invalid docs are
+      // rejected with the reference's error strings instead of flowing
+      // silently into the index (reference indexdocs.js:164-226)
+      val checked = docs0
+        .map(d => DocHygiene.standardizeDoc(d) match {
+          case Right(ok) => (ok, "")
+          case Left(err) => (d, err)
+        })
+        .localCheckpoint()
+      val quarantine = checked.filter(_._2.nonEmpty)
+        .map { case (d, err) => (d.id, err) }
+        .toDF("id", "error")
+      // 1b. I5 outlier clamp, tile covers at the layer zoom (I3/I4),
+      // center verification (I6)
+      val docs = checked.filter(_._2.isEmpty).map(_._1)
+        .map(DocHygiene.clampRanges _)
       val withCovers = docs.toDF()
         .withColumn("zxy", coverUdf(col("geometry"), lit(cfg.zoom),
           col("centerLon"), col("centerLat")))
@@ -286,9 +301,18 @@ object IndexBuilder {
         .drop("zxy_str")
         .cache()
 
-      val features = withCovers
+      // I16 cleanDocs (reference lib/indexer/index.js:254-262): non-address
+      // sources drop the feature-store geometry — tile_features keeps the
+      // pre-parsed geometry for reverse/context, so nothing downstream
+      // reads these columns for non-address layers
+      val features0 = withCovers
         .withColumnRenamed("centerLon", "center_lon")
         .withColumnRenamed("centerLat", "center_lat")
+      val features =
+        if (cfg.geocoderAddress) features0
+        else features0
+          .withColumn("geometry", lit(""))
+          .withColumn("geom_bin", lit(null).cast("binary"))
 
       // 6. symmetric-delete fuzzy candidate table (P6): variant -> phrase
       val deletes = distinctPhrases
@@ -310,8 +334,90 @@ object IndexBuilder {
         .cache()
 
       LayerIndex(cfg, features, postings, tileFeatures, math.max(maxScore, 0.0),
-        deletes, prefixes)
+        deletes, prefixes, quarantine)
     }
     CarmenIndex(built.toVector)
+  }
+
+  /** S9 vectorizable doc expansion (reference indexdocs.js:104-158): address
+    * clusters and intersections explode into one point feature per number,
+    * ITP ranges into one linestring per segment; plain docs pass through.
+    * The engine's unified tile_features covers the full (Collection)
+    * geometry instead — min-distance and PIP outcomes are identical — so
+    * this operator exists for vector-tile-compatible export, not the hot
+    * reverse path.
+    */
+  final case class VectorFeature(id: Long, kind: String, geometry: String,
+                                 number: String)
+  def vectorizable(spark: SparkSession, docs: Dataset[GeoDoc]): Dataset[VectorFeature] = {
+    import spark.implicits._
+    docs.flatMap { d =>
+      val out = Vector.newBuilder[VectorFeature]
+      val parts: Vector[Geom] = Geom.fromJson(d.geometry) match {
+        case Geom.Collection(gs) => gs
+        case g => Vector(g)
+      }
+      var exploded = false
+      if (d.addressnumber.nonEmpty) {
+        exploded = true
+        for ((nums, i) <- d.addressnumber.zipWithIndex if nums != null) {
+          parts.lift(i) match {
+            case Some(Geom.MultiPoint(pts)) =>
+              for ((n, j) <- nums.zipWithIndex if j < pts.length)
+                out += VectorFeature(d.id, "address",
+                  Geom.toJson(Geom.Point(pts(j))), n)
+            case _ => ()
+          }
+        }
+      }
+      if (d.intersections.nonEmpty) {
+        exploded = true
+        for ((names, i) <- d.intersections.zipWithIndex if names != null) {
+          parts.lift(i) match {
+            case Some(Geom.MultiPoint(pts)) =>
+              for ((n, j) <- names.zipWithIndex if j < pts.length)
+                out += VectorFeature(d.id, "intersection",
+                  Geom.toJson(Geom.Point(pts(j))), n)
+            case _ => ()
+          }
+        }
+      }
+      if (d.rangetype.nonEmpty) {
+        exploded = true
+        for (p <- parts) p match {
+          case Geom.MultiLineString(lines) =>
+            for (line <- lines)
+              out += VectorFeature(d.id, "range",
+                Geom.toJson(Geom.LineString(line)), "")
+          case _ => ()
+        }
+      }
+      if (!exploded)
+        out += VectorFeature(d.id, "feature", d.geometry, "")
+      out.result()
+    }
+  }
+
+  /** S10 analyze (reference lib/util/analyze.js:21-53): grid counts by
+    * 3-bit score and relev bucket plus a duplicate-grid check — one hash
+    * aggregate over the postings.
+    */
+  def analyze(postings: DataFrame): DataFrame = {
+    val dups = postings
+      .groupBy(col("phrase"), col("lang_set"), col("score3"), col("relev"),
+        col("id24"), col("x"), col("y"))
+      .agg(count(lit(1)).as("n")).where(col("n") > 1).count()
+    val byScore = postings.groupBy(col("score3").as("k"))
+      .agg(count(lit(1)).as("v"))
+      .select(concat(lit("score_"), col("k")).as("stat"), col("v").as("value"))
+    val byRelev = postings
+      .groupBy(format_number(col("relev"), 1).as("k"))
+      .agg(count(lit(1)).as("v"))
+      .select(concat(lit("relev_"), col("k")).as("stat"), col("v").as("value"))
+    val spark = postings.sparkSession
+    import spark.implicits._
+    byScore.unionByName(byRelev)
+      .unionByName(Seq(("total", postings.count()), ("duplicate_grids", dups))
+        .toDF("stat", "value"))
   }
 }

@@ -66,6 +66,8 @@ object IndexStore {
       .parquet(tablePath(root, layer, "deletes"))
     l.prefixes.write.mode(SaveMode.Overwrite)
       .parquet(tablePath(root, layer, "prefixes"))
+    l.quarantine.write.mode(SaveMode.Overwrite)
+      .parquet(tablePath(root, layer, "quarantine"))
 
     // per-partition lineage + row-count metrics
     val lineage =
@@ -80,6 +82,7 @@ object IndexStore {
           ("features", l.features.count()),
           ("deletes", l.deletes.count()),
           ("prefixes", l.prefixes.count()),
+          ("quarantine", l.quarantine.count()),
           ("_scorefactor_micros", math.round(l.scorefactor * 1e6).max(0L)))
           .toDF("table", "rows")
           .select(lit(layer).as("layer"), col("table"),
@@ -106,12 +109,13 @@ object IndexStore {
     val features = spark.read.parquet(tablePath(root, layer, "features"))
     val deletes = spark.read.parquet(tablePath(root, layer, "deletes"))
     val prefixes = spark.read.parquet(tablePath(root, layer, "prefixes"))
+    val quarantine = spark.read.parquet(tablePath(root, layer, "quarantine"))
     val scorefactor = lineage(spark, root)
       .where(col("layer") === layer && col("table") === "_scorefactor_micros")
       .select(col("rows")).collect().headOption
       .map(_.getLong(0).toDouble / 1e6).getOrElse(0.0)
     IndexBuilder.LayerIndex(cfg, features, postings, tileFeatures, scorefactor,
-      deletes, prefixes)
+      deletes, prefixes, quarantine)
   }
 
   /** Build-or-resume: completed layers load from the store; the rest build,

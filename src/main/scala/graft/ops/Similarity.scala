@@ -262,7 +262,7 @@ object Similarity {
     * hyperplane signs precomputed into bitset planes rather than hashed in
     * the hot loop.
     */
-  private def allSigsUdf(tables: Int, bits: Int, extraBits: Int): UserDefinedFunction =
+  private[graft] def allSigsUdf(tables: Int, bits: Int, extraBits: Int): UserDefinedFunction =
     udf((v: Seq[Float]) => {
       val per = bits + extraBits
       val total = tables * per
@@ -309,24 +309,48 @@ object Similarity {
   def annLshMulti(df: DataFrame, k: Int, tables: Int = 8,
                   bitsMin: Int = 3, targetBucket: Int = 64,
                   maxBucket: Int = 512, extraBits: Int = 8,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  adaptiveBrute: Boolean = true): DataFrame = {
     val spark = df.sparkSession
-    // One materialization of (id, vec): reused by the count, the signature
-    // pass, and both sides of the verification join. localCheckpoint (not
-    // cache) per the plan-registry degradation measured in this repo.
+    // One materialization of (id, vec, unit-normalized vec): reused by the
+    // count, the signature pass, and both sides of the verification join —
+    // normalization happens ONCE per vector here, so the per-candidate
+    // cosine is a single fused dot product. localCheckpoint (not cache) per
+    // the plan-registry degradation measured in this repo.
+    val normalizeUdf = udf((v: Seq[Float]) => {
+      val n = v.length
+      var s = 0.0
+      var i = 0
+      while (i < n) { val x = v(i).toDouble; s += x * x; i += 1 }
+      val inv = if (s > 0) 1.0 / math.sqrt(s) else 0.0
+      val out = new Array[Float](n)
+      i = 0
+      while (i < n) { out(i) = (v(i) * inv).toFloat; i += 1 }
+      out
+    })
     val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("vn", normalizeUdf(col("v")))
       .localCheckpoint()
     val n = vecs.count()
+    // Adaptive cutover (measured at sf0.1): expected LSH candidates per
+    // query ~ tables x targetBucket; when that approaches the corpus size,
+    // the LSH candidate join touches ~n^2 pairs anyway and the broadcast
+    // brute kernel (one scan, partition-local heaps, no candidate shuffle)
+    // is strictly cheaper. LSH takes over as n grows — its cost is
+    // O(n x tables x targetBucket), linear in n, the 100 TB shape.
+    if (adaptiveBrute && 2L * tables * targetBucket >= n)
+      return cosineTopK(df, df, k, idCol, vecCol)
     val bits = math.min(40, math.max(bitsMin,
       (math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).ceil.toInt))
 
     // Single fused signature pass: one UDF call per row emits all tables'
     // (table, b0, bx), exploded into the per-table rows the bucketing needs.
-    // Checkpointed because it feeds both the hot-bucket count and the join.
+    // Recomputed (not checkpointed) for the hot-bucket count and the join:
+    // with the sign planes cached per executor, the pass is cheaper than a
+    // checkpoint barrier.
     val sigs = vecs
       .select(col("id"), explode(allSigsUdf(tables, bits, extraBits)(col("v"))).as("s"))
       .select(col("id"), col("s._1").as("table"), col("s._2").as("b0"), col("s._3").as("bx"))
-      .localCheckpoint()
 
     // hot-bucket split: oversized (table, b0) buckets refine with extra bits
     val counts = sigs.groupBy(col("table"), col("b0"))
@@ -345,9 +369,9 @@ object Similarity {
       .distinct()
 
     val scored = cand
-      .join(vecs.select(col("id").as("query_id"), col("v").as("qv")), "query_id")
-      .join(vecs.select(col("id").as("corpus_id"), col("v").as("cv")), "corpus_id")
-      .withColumn("cos", cosUdf(col("qv"), col("cv")))
+      .join(vecs.select(col("id").as("query_id"), col("vn").as("qv")), "query_id")
+      .join(vecs.select(col("id").as("corpus_id"), col("vn").as("cv")), "corpus_id")
+      .withColumn("cos", dotUdf(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

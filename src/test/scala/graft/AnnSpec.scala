@@ -30,7 +30,8 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     val brute = Similarity.cosineTopK(df, df, k)
       .select(col("query_id"), col("corpus_id"))
       .as[(Long, Long)].collect().toSet
-    val ann = Similarity.annLshMulti(df, k, tables = 16)
+    // adaptiveBrute off: this test exercises the LSH path itself
+    val ann = Similarity.annLshMulti(df, k, tables = 16, adaptiveBrute = false)
       .select(col("query_id"), col("corpus_id"))
       .as[(Long, Long)].collect().toSet
     val recall = brute.intersect(ann).size.toDouble / brute.size

@@ -69,4 +69,114 @@ class DocHygieneSpec extends AnyFunSuite {
       GeoDoc(1, "x", 0, line, 50, 50), Seq("14/8192/8192"))
     assert(fixed.centerLon === 1.0 && fixed.centerLat === 1.0)
   }
+
+  test("I18 addrTransform lifts MultiPoint clusters and lowercases numbers") {
+    val mp = """{"type":"MultiPoint","coordinates":[[0,0],[0,1]]}"""
+    val doc = GeoDoc(1, "fake st", 0, mp, 0, 0,
+      addressnumber = Seq(Seq("9B", "10C")))
+    val out = DocHygiene.addrTransform(doc)
+    assert(out.isRight, s"got $out")
+    val d = out.toOption.get
+    assert(d.addressnumber === Seq(Seq("9b", "10c")))
+    Geom.fromJson(d.geometry) match {
+      case Geom.Collection(Vector(Geom.MultiPoint(pts))) =>
+        assert(pts === Vector((0.0, 0.0), (0.0, 1.0)))
+      case g => fail(s"not lifted: $g")
+    }
+  }
+
+  test("I18 addrTransform rejects misaligned parallel arrays") {
+    val mp = """{"type":"MultiPoint","coordinates":[[0,0],[0,1]]}"""
+    val bad = GeoDoc(1, "fake st", 0, mp, 0, 0,
+      addressnumber = Seq(Seq("9B", "10C", "11")))
+    assert(DocHygiene.addrTransform(bad) ===
+      Left("carmen:addressnumber[i] array must be equal to geometry.geometries[i] array"))
+    val point = """{"type":"Point","coordinates":[0,0]}"""
+    assert(DocHygiene.addrTransform(GeoDoc(1, "x", 0, point, 0, 0,
+      addressnumber = Seq(Seq("1")))) ===
+      Left("carmen:addressnumber must be MultiPoint or GeometryCollection"))
+  }
+
+  test("I18 addrTransform lifts ITP LineString and fills range props") {
+    val line = """{"type":"LineString","coordinates":[[0,0],[1,1]]}"""
+    val doc = GeoDoc(1, "interp rd", 0, line, 0.5, 0.5,
+      rangetype = "tiger", lfromhn = Seq(Seq("2")), ltohn = Seq(Seq("98")))
+    val out = DocHygiene.addrTransform(doc)
+    assert(out.isRight, s"got $out")
+    val d = out.toOption.get
+    Geom.fromJson(d.geometry) match {
+      case Geom.Collection(Vector(Geom.MultiLineString(ls))) =>
+        assert(ls === Vector(Vector((0.0, 0.0), (1.0, 1.0))))
+      case g => fail(s"not lifted: $g")
+    }
+    assert(d.parityl === Seq(Seq.empty), "missing range props filled")
+    assert(d.lfromhn === Seq(Seq("2")))
+  }
+
+  test("I1/I18 wired into the build: invalid docs land in quarantine") {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      val sp = spark
+      def docs(d: GeoDoc*) = sp.createDataset(d)(org.apache.spark.sql.Encoders.product[GeoDoc])
+      val idx = graft.index.IndexBuilder.build(spark, Seq(
+        (graft.model.LayerConfig("place", idx = 0, zoom = 6, typ = "place"),
+          docs(
+            GeoDoc(1, "Goodtown", 1, pt, 1, 2),
+            GeoDoc(0, "NoId", 1, pt, 1, 2),                   // I1: no id
+            GeoDoc(3, "", 1, pt, 1, 2),                       // I1: no text
+            GeoDoc(4, "Badcluster", 1, pt, 1, 2,
+              addressnumber = Seq(Seq("1")))))))              // I18: bad shape
+      val layer = idx.layers.head
+      val q = layer.quarantine.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(q.keySet === Set(0L, 3L, 4L), s"got $q")
+      assert(q(4L) === "carmen:addressnumber must be MultiPoint or GeometryCollection")
+      assert(layer.features.select("id").collect().map(_.getLong(0)).toSet === Set(1L),
+        "only the valid doc is indexed")
+    } finally spark.stop()
+  }
+
+  test("S9 vectorizable expansion: per-number points + per-segment lines") {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      val sp = spark
+      val gc = """{"type":"GeometryCollection","geometries":[{"type":"MultiPoint","coordinates":[[0,0],[0,1]]},{"type":"MultiLineString","coordinates":[[[0,0],[1,1]],[[2,2],[3,3]]]}]}"""
+      val d = sp.createDataset(Seq(
+        GeoDoc(1, "fake st", 0, gc, 0, 0,
+          addressnumber = Seq(Seq("9b", "10c"), Seq.empty),
+          rangetype = "tiger",
+          lfromhn = Seq(Seq.empty, Seq("2", "100")),
+          ltohn = Seq(Seq.empty, Seq("98", "198"))),
+        GeoDoc(2, "plain", 0, pt, 1, 2)))(
+        org.apache.spark.sql.Encoders.product[GeoDoc])
+      val v = graft.index.IndexBuilder.vectorizable(sp, d).collect()
+      assert(v.count(_.kind == "address") === 2)
+      assert(v.count(_.kind == "range") === 2)
+      assert(v.count(_.kind == "feature") === 1)
+      assert(v.filter(_.kind == "address").map(_.number).toSet === Set("9b", "10c"))
+    } finally spark.stop()
+  }
+
+  test("S10 analyze: counts by score/relev + duplicate check") {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      import spark.implicits._
+      val postings = Seq(
+        ("a st", "", 1.0, 3, 10L, 5, 5),
+        ("a st", "", 1.0, 3, 10L, 5, 5), // duplicate grid
+        ("b st", "", 0.8, 1, 11L, 6, 6)
+      ).toDF("phrase", "lang_set", "relev", "score3", "id24", "x", "y")
+      val stats = graft.index.IndexBuilder.analyze(postings)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(stats("total") === 3)
+      assert(stats("score_3") === 2)
+      assert(stats("relev_0.8") === 1)
+      assert(stats("duplicate_grids") === 1)
+    } finally spark.stop()
+  }
 }

@@ -82,16 +82,46 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.take(2) === Seq(1L, 2L)) // cos=1 ties broken by id
   }
 
-  test("multimodal probe + features plumbing") {
+  test("multimodal probe + features over real PNG/WAV payloads") {
     val media = Multimodal.syntheticMedia(Tables.events(spark, sf))
     val feats = Multimodal.mediaFeatures(media).cache()
     assert(feats.count() === 1000)
-    assert(feats.where(col("kind").isin("image", "audio", "video")).count() === 1000)
+    assert(feats.where(col("kind").isin("image", "audio")).count() === 1000)
     val row = feats.orderBy("media_id").first()
     assert(row.getSeq[Float](row.fieldIndex("features")).length === 8)
     // deterministic: same media_id -> same features
     val again = Multimodal.mediaFeatures(media).orderBy("media_id").first()
     assert(row.getSeq[Float](row.fieldIndex("features")) === again.getSeq[Float](again.fieldIndex("features")))
+    // real content statistics: the PNG R channel is an x-gradient ->
+    // mean ~0.5; the WAV is a two-tone mix -> RMS in a sane band
+    val img = feats.where(col("kind") === "image").first()
+    val imgFeats = img.getSeq[Float](img.fieldIndex("features"))
+    assert(imgFeats(0) > 0.3 && imgFeats(0) < 0.7, s"R mean: ${imgFeats(0)}")
+    val aud = feats.where(col("kind") === "audio").first()
+    val audFeats = aud.getSeq[Float](aud.fieldIndex("features"))
+    assert(audFeats(0) > 0.1 && audFeats(0) < 0.9, s"RMS: ${audFeats(0)}")
+  }
+
+  test("PNG codec roundtrip incl. filtered decode and resize") {
+    val w = 20; val h = 10
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37) & 0xff).toByte)
+    val png = MediaCodec.encodePng(w, h, rgb)
+    assert(MediaCodec.isPng(png))
+    val dec = MediaCodec.decodePng(png).get
+    assert(dec.width === w && dec.height === h && dec.channels === 3)
+    assert(dec.pixels.toSeq === rgb.toSeq, "pixel-exact roundtrip")
+    val half = MediaCodec.resizePng(dec, w / 2, h / 2)
+    val dec2 = MediaCodec.decodePng(half).get
+    assert(dec2.width === w / 2 && dec2.height === h / 2)
+  }
+
+  test("WAV codec roundtrip") {
+    val samples = Array.tabulate(300)(i => (math.sin(i * 0.1) * 20000).toShort)
+    val wav = MediaCodec.encodeWav(8000, samples)
+    assert(MediaCodec.isWav(wav))
+    val dec = MediaCodec.decodeWav(wav).get
+    assert(dec.sampleRate === 8000 && dec.bitsPerSample === 16)
+    assert(dec.samples.toSeq === samples.toSeq, "sample-exact roundtrip")
   }
 
   test("streaming windowed counts equal the batch aggregation") {
