@@ -197,6 +197,36 @@ object ClosestLang {
     languageComponent(getLanguage(str).getOrElse(Vector.empty))
   }
 
+  /** Languages close enough to pass languageMode=strict
+    * (reference lib/text-processing/equivalent-languages.json).
+    */
+  val EquivalentLanguages: Map[String, Set[String]] = Map(
+    "hr" -> Set("bs", "sr"),
+    "bs" -> Set("hr", "sr"),
+    "sr_Latn" -> Set("bs", "hr"))
+
+  /** featureMatchesLanguage (reference lib/geocoder/filter-sources.js:119-139):
+    * under languageMode=strict a feature passes only if its closest text
+    * language matches (or is universal / an equivalent language of) the
+    * requested one. `textKeys` are the feature's carmen:text* property keys.
+    */
+  def featureMatchesLanguage(language: Option[String], languageMode: String,
+                             textKeys: Vector[String]): Boolean = {
+    if (language.isEmpty || language.get.isEmpty) return true
+    if (languageMode != "strict") return true
+    val req = language.get.replace("-", "_")
+    closestLangLabel(req, textKeys, "carmen:text_") match {
+      case None => false
+      case Some(label) =>
+        (getLanguageCode(label), getLanguageCode(req)) match {
+          case (Some(a), Some(b)) =>
+            a == "universal" || a == b ||
+              EquivalentLanguages.getOrElse(label, Set.empty).contains(b)
+          case _ => false
+        }
+    }
+  }
+
   /** getText (closest-lang.js:322-334): language-aware text selection.
     * Returns (text, Option(languageLabel)).
     */

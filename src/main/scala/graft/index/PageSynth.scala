@@ -84,14 +84,30 @@ object PageSynth {
     }.toDF("url", "warc_ts", "html", "text", "lang")
   }
 
-  private val geoScript =
-    java.util.regex.Pattern.compile(
-      """<script type="application/geo\+json">(.*?)</script>""",
-      java.util.regex.Pattern.DOTALL)
+  private val GeoScriptOpen =
+    "<script type=\"application/geo+json\">".getBytes("UTF-8")
+  private val GeoScriptClose = "</script>".getBytes("UTF-8")
+
+  private def indexOfBytes(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    val limit = hay.length - needle.length
+    var i = math.max(from, 0)
+    while (i <= limit) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
 
   /** Extraction job: pages -> (layer, GeoDoc) rows + pass-through text.
     * Deterministic, one pass, no shuffle; dedup by (layer, id) happens in a
     * single aggregate.
+    *
+    * The hot loop is allocation-lean by design (the ingest stage is the
+    * most 100 TB-shaped path): the geo payload is located with a byte-level
+    * marker scan — no full-page String materialization, no DOTALL regex —
+    * and Jackson parses the payload span directly from the page bytes.
     */
   def extract(spark: SparkSession, pages: DataFrame): DataFrame = {
     import spark.implicits._
@@ -100,17 +116,22 @@ object PageSynth {
         // one Jackson mapper per partition, not per row
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         it.flatMap { case (url, html, text) =>
-        val s = new String(html, "UTF-8")
-        val m = geoScript.matcher(s)
-        if (m.find()) {
-          val node = mapper.readTree(m.group(1))
-          Some((url, text,
-            node.get("layer").asText(), node.get("id").asLong(),
-            node.get("name").asText(), node.get("score").asDouble(),
-            node.get("geometry").toString,
-            node.get("lon").asDouble(), node.get("lat").asDouble()))
-        } else None
-      }
+          val open = indexOfBytes(html, GeoScriptOpen, 0)
+          if (open < 0) None
+          else {
+            val jsonStart = open + GeoScriptOpen.length
+            val end = indexOfBytes(html, GeoScriptClose, jsonStart)
+            if (end < 0) None
+            else {
+              val node = mapper.readTree(html, jsonStart, end - jsonStart)
+              Some((url, text,
+                node.get("layer").asText(), node.get("id").asLong(),
+                node.get("name").asText(), node.get("score").asDouble(),
+                node.get("geometry").toString,
+                node.get("lon").asDouble(), node.get("lat").asDouble()))
+            }
+          }
+        }
       }
       .toDF("url", "text", "layer", "id", "name", "score", "geometry", "lon", "lat")
     parsed

@@ -27,11 +27,13 @@ final case class LayerConfig(
     autoPopulate: Seq[String] = Nil,     // geocoder_languages_from_default
     categories: Set[String] = Set.empty,
     expectedNumberOrder: String = "",    // geocoder_expected_number_order
+    scoreranges: Map[String, Seq[Double]] = Map.empty, // subtype -> [lo, hi] fractions
 
     geocoderFormat: String = "",         // geocoder_format template
     geocoderInheritScore: Boolean = false, // geocoder_inherit_score
     geocoderGrantScore: Boolean = true,    // geocoder_grant_score
-    geocoderIgnoreOrder: Boolean = false   // geocoder_ignore_order
+    geocoderIgnoreOrder: Boolean = false,  // geocoder_ignore_order
+    geocoderRoutable: Boolean = false      // geocoder_routable
 ) {
   def ndxKey: String = name
 

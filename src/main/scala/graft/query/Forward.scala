@@ -39,10 +39,55 @@ object Forward {
       // same result set without the driver round-trips
       limitVerify: Int = 20,
       language: Option[String] = None,
-      types: Seq[String] = Nil,                       // F2/F3 layer-type filter
+      languageMode: String = "",                      // F3 "strict" filter
+      types: Seq[String] = Nil,                       // F2/F3 layer-type filter (+subtypes)
       stacks: Seq[String] = Nil,                      // F2 country-stack filter
-      bbox: Option[(Double, Double, Double, Double)] = None // F4/F5 (W,S,E,N)
+      bbox: Option[(Double, Double, Double, Double)] = None, // F4/F5 (W,S,E,N)
+      routing: Boolean = false                        // V9 routable points
   )
+
+  /** F1 option validation with the reference's error messages
+    * (reference lib/geocoder/geocode.js:67-147). None = valid.
+    */
+  def validateOptions(index: CarmenIndex, opts: Options): Option[String] = {
+    val types = index.layers.map(_.config.typ).distinct
+    val subtypes = index.layers.flatMap(l =>
+      l.config.scoreranges.keys.map(s => s"${l.config.typ}.$s")).distinct
+    val acceptable = (types ++ subtypes).distinct
+    for (t <- opts.types)
+      if (!acceptable.contains(t))
+        return Some(s"""Type "$t" is not a known type. Must be one of: ${acceptable.mkString(", ")}""")
+    val knownStacks = index.layers.flatMap(_.config.stack).distinct
+    for (s0 <- opts.stacks) {
+      val s = s0.toLowerCase
+      if (!knownStacks.contains(s))
+        return Some(s"""Stack "$s" is not a known stack. Must be one of: ${knownStacks.mkString(", ")}""")
+    }
+    for ((lon, lat) <- opts.proximity) {
+      if (lon.isNaN || lon < -180 || lon > 180)
+        return Some("Proximity lon value must be a number between -180 and 180")
+      if (lat.isNaN || lat < -90 || lat > 90)
+        return Some("Proximity lat value must be a number between -90 and 90")
+    }
+    for (l <- opts.language)
+      if (!ClosestLang.hasLanguage(l.replace("-", "_")))
+        return Some(s"'$l' is not a valid language code")
+    if (opts.languageMode.nonEmpty && opts.languageMode != "strict")
+      return Some(s"'${opts.languageMode}' is not a valid language mode")
+    for ((w, s, e, n) <- opts.bbox) {
+      if (w.isNaN || w < -180 || w > 180)
+        return Some("BBox minX value must be a number between -180 and 180")
+      if (s.isNaN || s < -90 || s > 90)
+        return Some("BBox minY value must be a number between -90 and 90")
+      if (e.isNaN || e < -180 || e > 180)
+        return Some("BBox maxX value must be a number between -180 and 180")
+      if (n.isNaN || n < -90 || n > 90)
+        return Some("BBox maxY value must be a number between -90 and 90")
+      if (w > e) return Some("BBox minX value cannot be greater than maxX value")
+      if (s > n) return Some("BBox minY value cannot be greater than maxY value")
+    }
+    None
+  }
 
   /** Query-side fuzzy variant row. */
   final case class FuzzVar(queryId: Long, subquery: String, mask: Int,
@@ -92,13 +137,15 @@ object Forward {
                          addressPos: Int, fromCluster: Boolean,
                          interpolated: Boolean, omitted: Boolean,
                          pos: Int, matchingText: String,
-                         overrides: Map[String, String])
+                         overrides: Map[String, String], langOk: Boolean,
+                         routablePoints: String,
+                         langTexts: Map[String, String])
 
   final case class FinalRow(query_id: Long, rank: Int, relev: Double,
                             scoredist: Double, place_name: String,
                             feature_id: Long, center_lon: Double,
                             center_lat: Double, lead_idx: Int,
-                            matching_text: String)
+                            matching_text: String, routable_points: String)
 
   /** One query-side text-processing group: layers sharing geocoder_tokens /
     * address behavior share one enumerated-subquery set.
@@ -124,7 +171,8 @@ object Forward {
                         leadIdx: Int, number: String, omitted: Boolean,
                         interpolated: Boolean, addrKey: Option[String],
                         matchingText: String, leadText: String,
-                        leadScore: Double)
+                        leadScore: Double, langOk: Boolean,
+                        routablePoints: String)
 
   /** T18 whitespace corrector (reference lib/util/whitespace.js): split
     * letters+digits fused tokens ("fake123" -> "fake 123") as a second
@@ -302,14 +350,21 @@ object Forward {
       // O1 matching_text (format-features.js:383-479)
       matchingText: String = "",
       // "override:{type}" feature props (verifymatch.js:597-631)
-      overrides: Map[String, String] = Map.empty)
+      overrides: Map[String, String] = Map.empty,
+      // F3 languageMode=strict verdict for this feature
+      langOk: Boolean = true,
+      // V9 routable point "lon,lat" (empty when none / not requested)
+      routablePoints: String = "",
+      // carmen:text_{lang} map for language-aware textAlike (V13)
+      langTexts: Map[String, String] = Map.empty)
 
   /** Per-layer text info for verify/format (simple replacer, intersection
-    * token, category set).
+    * token, category set, routable flag).
     */
   final case class LayerTextInfo(simple: SimpleReplacer,
                                  intersectionToken: String,
-                                 categories: Set[String])
+                                 categories: Set[String],
+                                 routable: Boolean = false)
 
   /** Address-cluster/ITP resolution for one lead feature (reference
     * verifymatch.js:363-492): exact intersection cross-street snap, exact
@@ -325,7 +380,14 @@ object Forward {
   private def resolveLead(r: LeadRaw,
                           proximity: Option[(Double, Double)],
                           language: Option[String],
+                          languageMode: String,
+                          routing: Boolean,
                           layerText: Map[Int, LayerTextInfo]): LeadOut = {
+    // F3 languageMode=strict (filter-sources.js:119-139), evaluated here
+    // where the feature's text keys are in hand
+    val langOk = r.featureId < 0 ||
+      ClosestLang.featureMatchesLanguage(language, languageMode,
+        "carmen:text" +: r.fLangTexts.keys.toVector.sorted.map("carmen:text_" + _))
     val info = layerText.getOrElse(r.idx,
       LayerTextInfo(SimpleReplacer(Map.empty), "and", Set.empty))
     // O1: language-aware text selection (closest-lang getText,
@@ -348,7 +410,8 @@ object Forward {
       overrides = r.fOverrides.collect {
         case (k, v) if k.startsWith("override:") && v.nonEmpty =>
           k.stripPrefix("override:") -> v
-      })
+      },
+      langOk = langOk, langTexts = r.fLangTexts)
     if (!r.addressLayer || r.featureId < 0) return noPenalty
 
     // pre-parsed binary geometry: no JSON parse per candidate
@@ -483,9 +546,19 @@ object Forward {
           case (k, v) if k.startsWith("override:") && v.nonEmpty =>
             k.stripPrefix("override:") -> v
         }
+        // V9 routable points (reference lib/geocoder/routablepoint.js):
+        // nearest point on the feature's line geometry to the resolved
+        // address point, 1e-6 rounded
+        val routablePts =
+          if (routing && info.routable)
+            Geom.nearestPointOnLine(Geom.Collection(parts), lon, lat)
+              .map { case (x, y) =>
+                s"${JsNum.roundTo(x, 6)},${JsNum.roundTo(y, 6)}" }
+              .getOrElse("")
+          else ""
         noPenalty.copy(lon = lon, lat = lat, number = matchedNum,
           fromCluster = fromCluster, interpolated = interp, omitted = omit,
-          overrides = eff)
+          overrides = eff, routablePoints = routablePts)
       case None =>
         // street fallback (verifymatch.js:456-460, 489-492)
         noPenalty.copy(addrPenalty = true)
@@ -496,13 +569,20 @@ object Forward {
               opts: Options = Options()): DataFrame = {
     import spark.implicits._
 
-    // F1/F2: prune layers by types/stacks up front (reference
-    // filter-sources.js:23-57) — search joins run on the allowed subset;
-    // context fill still sees every layer
+    // F1: option validation with reference error messages
+    validateOptions(index, opts).foreach(msg =>
+      throw new IllegalArgumentException(msg))
+    // F2: prune layers by types/stacks up front (reference
+    // filter-sources.js:23-57) — a subtype filter ("poi.landmark") keeps
+    // layers of the base type whose scoreranges declare the subtype;
+    // search joins run on the allowed subset; context fill still sees
+    // every layer
     val allowedLayers = index.layers.filter { l =>
       val stackOk = opts.stacks.isEmpty || l.config.stack.isEmpty ||
-        l.config.stack.exists(opts.stacks.contains)
-      val typeOk = opts.types.isEmpty || opts.types.contains(l.config.typ)
+        l.config.stack.exists(s => opts.stacks.exists(_.equalsIgnoreCase(s)))
+      val typeOk = opts.types.isEmpty || opts.types.contains(l.config.typ) ||
+        l.config.scoreranges.keys.exists(sub =>
+          opts.types.contains(s"${l.config.typ}.$sub"))
       stackOk && typeOk
     }
     val searchIndex =
@@ -785,12 +865,16 @@ object Forward {
         IndexBuilder.replacersFor(l.config).simple,
         if (l.config.intersectionToken.nonEmpty) l.config.intersectionToken
         else "and",
-        l.config.categories)
+        l.config.categories,
+        l.config.geocoderRoutable)
     }.toMap
     val layerTextBc = spark.sparkContext.broadcast(layerText)
     val language = opts.language
+    val languageMode = opts.languageMode
+    val routing = opts.routing
     val leadOut = leadRaw
-      .map(r => resolveLead(r, proximity, language, layerTextBc.value))
+      .map(r => resolveLead(r, proximity, language, languageMode, routing,
+        layerTextBc.value))
       .toDF()
       .localCheckpoint()
 
@@ -800,7 +884,8 @@ object Forward {
       col("lon"), col("lat"), col("display"), col("number"),
       col("fullText"), col("fscore"), col("addressPos"), col("fromCluster"),
       col("interpolated"), col("omitted"), lit(0).as("pos"),
-      col("matchingText"), col("overrides"))
+      col("matchingText"), col("overrides"), col("langOk"),
+      col("routablePoints"), col("langTexts"))
 
     // cover rows (kind 0); the pos==0 cover takes the street-fallback
     // penalty when its address number failed to resolve
@@ -819,7 +904,9 @@ object Forward {
       lit(-1).as("addressPos"), lit(false).as("fromCluster"),
       lit(false).as("interpolated"), lit(false).as("omitted"),
       col("pos"), lit("").as("matchingText"),
-      map().cast("map<string,string>").as("overrides"))
+      map().cast("map<string,string>").as("overrides"), lit(true).as("langOk"),
+      lit("").as("routablePoints"),
+      map().cast("map<string,string>").as("langTexts"))
 
     // context rows (kind 1): reverse-lookup of the lead center in every
     // layer coarser than the lead (reference verifymatch.js:542-559).
@@ -852,12 +939,16 @@ object Forward {
           lit(-1).as("addressPos"), lit(false).as("fromCluster"),
           lit(false).as("interpolated"), lit(false).as("omitted"),
           lit(0).as("pos"), lit("").as("matchingText"),
-          map().cast("map<string,string>").as("overrides"))
+          map().cast("map<string,string>").as("overrides"),
+          lit(true).as("langOk"), lit("").as("routablePoints"),
+          coalesce(col("lang_texts"),
+            map().cast("map<string,string>")).as("langTexts"))
 
     val tagged = coverRows.unionByName(leadRows).unionByName(contextRows)
       .as[VRowT]
 
     val limit = opts.limit
+    val typesB = opts.types
     val finals = tagged.groupByKey(_.query_id).flatMapGroups { (qid, it) =>
       val (cfgs, ndxs) = cfgBc.value
       // idx-keyed config lookups, built once per query group (not
@@ -906,14 +997,15 @@ object Forward {
             val (li, lg, lo) = flagsOf(lead.idx)
             VerifyRank.VCtx(lead.tmpid, lead.idx, ndxOf(lead.idx),
               lead.display, ignoreOrder = lo, fullText = lead.fullText,
-              score = lead.fscore, inheritScore = li, grantScore = lg) +:
+              score = lead.fscore, inheritScore = li, grantScore = lg,
+              langTexts = lead.langTexts) +:
               ctx.map { case (r, replaced) =>
                 val (ci, cg, cio) = flagsOf(r.idx)
                 // replaced elements carry no cover identity (tmpid/idx -1)
                 VerifyRank.VCtx(if (replaced) -1L else r.tmpid,
                   if (replaced) -1 else r.idx, ndxOf(r.idx), r.display,
                   ignoreOrder = cio, fullText = r.fullText, score = r.fscore,
-                  inheritScore = ci, grantScore = cg)
+                  inheritScore = ci, grantScore = cg, langTexts = r.langTexts)
               }
           }
           // O1: geocoder_format template of the lead layer, else the
@@ -944,7 +1036,8 @@ object Forward {
             omitted = lead.omitted, looseBumps = bumps),
             Meta(placeName, lead.featureId, lead.lon, lead.lat, lead.idx,
               lead.number, lead.omitted, lead.interpolated, addrKey,
-              lead.matchingText, lead.fullText, lead.fscore))
+              lead.matchingText, lead.fullText, lead.fscore, lead.langOk,
+              lead.routablePoints))
         }
       }
       val meta = vresults.map { case (vr, m) => vr.position -> m }.toMap
@@ -962,9 +1055,27 @@ object Forward {
       // place_name + address-unique key; an omitted/interpolated result is
       // replaced by a non-omitted/non-interpolated duplicate; a street
       // fallback never replaces a resolved address
+      // F3 featureAllowed (filter-sources.js:64-110): subtype score-range
+      // check and languageMode=strict verdict on the lead feature
+      def typeAllowed(m: Meta): Boolean =
+        typesB.isEmpty || {
+          val typ = typFmtOf(m.leadIdx)._1
+          typesB.exists { t =>
+            val parts = t.split("\\.", 2)
+            if (parts.length == 1) typ == t
+            else typ == parts(0) && cfgByIdx.get(m.leadIdx).exists {
+              case (name, c) =>
+                c.scoreranges.get(parts(1)).exists { r =>
+                  val sf = cfgs(name)._2
+                  m.leadScore >= sf * r.head && m.leadScore <= sf * r(1)
+                }
+            }
+          }
+        }
       val byKey = scala.collection.mutable.HashMap.empty[String, Int]
       val out = scala.collection.mutable.ArrayBuffer.empty[(VerifyRank.Verified, Meta)]
-      ranked.foreach { v =>
+      ranked.filter(v => { val m = meta(v.position); m.langOk && typeAllowed(m) })
+        .foreach { v =>
         val m = meta(v.position)
         val keys = m.placeName +: m.addrKey.toVector
         keys.iterator.flatMap(byKey.get(_)).nextOption() match {
@@ -982,14 +1093,15 @@ object Forward {
         if (out.length != ranked.length) out.sortBy(-_._1.relevance) else out
       resorted.iterator.take(limit).zipWithIndex.map { case ((v, m), i) =>
         FinalRow(qid, i + 1, v.relevance, v.scoredist, m.placeName, m.fid,
-          m.lon, m.lat, m.leadIdx, m.matchingText)
+          m.lon, m.lat, m.leadIdx, m.matchingText, m.routablePoints)
       }
     }
 
     finals.toDF()
       .select(col("query_id"), col("rank"), col("relev"), col("scoredist"),
         col("place_name"), col("feature_id"), col("center_lon"),
-        col("center_lat"), col("lead_idx"), col("matching_text"))
+        col("center_lat"), col("lead_idx"), col("matching_text"),
+        col("routable_points"))
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -27,15 +27,24 @@ object VerifyRank {
                         ignoreOrder: Boolean = false,
                         fullText: String = "", score: Double = 0.0,
                         inheritScore: Boolean = false,
-                        grantScore: Boolean = false)
+                        grantScore: Boolean = false,
+                        langTexts: Map[String, String] = Map.empty)
 
-  /** textAlike (reference verifymatch.js:1069-1084), default-text form:
-    * the target's first synonym appears inside the candidate's.
+  /** textAlike (reference verifymatch.js:1069-1084), language-aware: the
+    * target's first synonym is contained in the candidate's for ANY shared
+    * carmen:text* field (default text or the same language key).
     */
   def textAlike(target: String, candidate: String): Boolean = {
     val t = target.split(",")(0)
     val c = candidate.split(",")(0)
     t.nonEmpty && c.nonEmpty && c.contains(t)
+  }
+
+  def textAlikeCtx(target: VCtx, candidate: VCtx): Boolean = {
+    if (textAlike(target.fullText, candidate.fullText)) return true
+    target.langTexts.exists { case (lang, t) =>
+      candidate.langTexts.get(lang).exists(c => textAlike(t, c))
+    }
   }
 
   /** One spatialmatch result awaiting verification. The address flags feed
@@ -117,7 +126,7 @@ object VerifyRank {
             // CONTEXT SQUISHY (verifymatch.js:794-800)
             if (contextSquishyTarget.isDefined && !contextSquishy &&
               feat.grantScore &&
-              textAlike(contextSquishyTarget.get.fullText, feat.fullText))
+              textAlikeCtx(contextSquishyTarget.get, feat))
               contextSquishy = true
             skip = true
         }
@@ -126,7 +135,7 @@ object VerifyRank {
       if (!skip) {
         // SQUISHY (verifymatch.js:813-822)
         if (squishyTarget.isDefined && c > 0 && feat.grantScore &&
-          textAlike(squishyTarget.get.fullText, feat.fullText))
+          textAlikeCtx(squishyTarget.get, feat))
           squishy += math.max(feat.score, 0.0)
         // CONTEXT SQUISHY target (verifymatch.js:824-838)
         if (contextSquishyTarget.isEmpty && c > 0 && feat.inheritScore &&

@@ -41,7 +41,7 @@ class AddressAcceptanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       (LayerConfig("place", idx = 0, zoom = 6, typ = "place"),
         docs(GeoDoc(1, "Springfield", 10, poly(-0.012, -0.012, 0.014, 0.009), 0.001, -0.001))),
       (LayerConfig("address", idx = 1, zoom = 6, typ = "address",
-        geocoderAddress = true),
+        geocoderAddress = true, geocoderRoutable = true),
         docs(
           GeoDoc(1, "fake street", 0, gcPoints(Seq((0.001, 0.001), (0.002, 0.002), (0.003, 0.003))),
             0.001, 0.001,
@@ -101,6 +101,21 @@ class AddressAcceptanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.head._2 === 1.0, s"got $res")
     // odd side 1..99 over x in [0, 0.008]: 51 ~ halfway
     assert(math.abs(res.head._4 - 0.004) < 0.0012, s"interpolated lon: $res")
+  }
+
+  test("V9 routable points: nearest point on the range line, 1e-6 rounded") {
+    val sp = spark; import sp.implicits._
+    val queries = Seq((1L, "51 interp road")).toDF("query_id", "query")
+    val res = Forward.forward(spark, index, queries,
+      Forward.Options(routing = true))
+      .select(col("rank"), col("place_name"), col("routable_points"))
+      .as[(Int, String, String)].collect().toSeq.sortBy(_._1)
+    assert(res.nonEmpty, s"got $res")
+    val rp = res.head._3
+    assert(rp.nonEmpty, s"routable point present: $res")
+    val Array(lon, lat) = rp.split(",").map(_.toDouble)
+    // the ITP point sits ON the line y=0, so its projection is itself
+    assert(lat === 0.0 && lon >= 0.0 && lon <= 0.008, s"on-line: $rp")
   }
 
   test("whitespace corrector splits fused number+street tokens (T18)") {

@@ -82,4 +82,41 @@ class LanguageAcceptanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.nonEmpty, s"got $res")
     assert(res.head._2 === 1.0, s"en query rides the es fill: $res")
   }
+
+  private def fwStrict(q: String, language: String): Seq[(Int, Double, String)] = {
+    val sp = spark; import sp.implicits._
+    val queries = Seq((1L, q)).toDF("query_id", "query")
+    Forward.forward(spark, index, queries,
+      Forward.Options(fuzzy = false, autocomplete = false,
+        language = Some(language), languageMode = "strict"))
+      .select(col("rank"), col("relev"), col("place_name"))
+      .as[(Int, Double, String)].collect().toSeq.sortBy(_._1)
+  }
+
+  test("languageMode=strict keeps features with the requested language text") {
+    // the place doc HAS es text -> passes strict es
+    val res = fwStrict("new york", "es")
+    assert(res.nonEmpty, s"got $res")
+    assert(res.head._3 == "nueva york, usa", s"es display text: $res")
+  }
+
+  test("languageMode=strict drops features without the requested language") {
+    // the place doc has NO de text and de is not equivalent -> filtered
+    val res = fwStrict("new york", "de")
+    assert(res.isEmpty, s"strict de filters the es/default-only place: $res")
+  }
+
+  test("O1: matching_text surfaces the translated synonym that matched") {
+    val sp = spark; import sp.implicits._
+    val queries = Seq((1L, "nueva york")).toDF("query_id", "query")
+    val res = Forward.forward(spark, index, queries,
+      Forward.Options(fuzzy = false, autocomplete = false))
+      .select(col("rank"), col("place_name"), col("matching_text"))
+      .as[(Int, String, String)].collect().toSeq.sortBy(_._1)
+    assert(res.nonEmpty, s"got $res")
+    // display text is the default ("new york"); the matched synonym is
+    // recovered via the source phrase hash
+    assert(res.head._2 == "new york, usa", s"got $res")
+    assert(res.head._3 == "nueva york", s"matching_text: $res")
+  }
 }

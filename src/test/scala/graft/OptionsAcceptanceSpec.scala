@@ -61,10 +61,35 @@ class OptionsAcceptanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.isEmpty || !out.head._2.startsWith("Lakewood"), s"got $out")
   }
 
-  test("stacks filter prunes layers whose stack does not intersect") {
-    // PageSynth layers carry no stack config -> stacks never prune them
-    val res = fw("Chester", Forward.Options(fuzzy = false,
-      stacks = Seq("us")))
-    assert(res.nonEmpty, s"stackless layers always allowed: $res")
+  test("unknown stack is rejected with the reference error (F1)") {
+    // no PageSynth layer declares a stack, so any stack option is unknown —
+    // the reference's option validation rejects it before filtering
+    val err = intercept[IllegalArgumentException] {
+      fw("Chester", Forward.Options(fuzzy = false, stacks = Seq("us")))
+    }
+    assert(err.getMessage.startsWith("Stack \"us\" is not a known stack"),
+      err.getMessage)
+  }
+
+  test("F1 option validation carries the reference error messages") {
+    def msg(opts: Forward.Options): String =
+      Forward.validateOptions(index, opts).getOrElse("")
+    assert(msg(Forward.Options(types = Seq("nope"))).startsWith(
+      """Type "nope" is not a known type. Must be one of: """))
+    assert(msg(Forward.Options(proximity = Some((181.0, 0.0)))) ===
+      "Proximity lon value must be a number between -180 and 180")
+    assert(msg(Forward.Options(proximity = Some((0.0, 91.0)))) ===
+      "Proximity lat value must be a number between -90 and 90")
+    assert(msg(Forward.Options(language = Some("zzzz"))) ===
+      "'zzzz' is not a valid language code")
+    assert(msg(Forward.Options(languageMode = "loose")) ===
+      "'loose' is not a valid language mode")
+    assert(msg(Forward.Options(bbox = Some((10.0, 0.0, -10.0, 5.0)))) ===
+      "BBox minX value cannot be greater than maxX value")
+    assert(msg(Forward.Options(bbox = Some((0.0, 5.0, 10.0, 0.0)))) ===
+      "BBox minY value cannot be greater than maxY value")
+    assert(msg(Forward.Options(bbox = Some((-200.0, 0.0, 10.0, 5.0)))) ===
+      "BBox minX value must be a number between -180 and 180")
+    assert(msg(Forward.Options()) === "")
   }
 }
