@@ -33,7 +33,8 @@ final case class LayerConfig(
     geocoderInheritScore: Boolean = false, // geocoder_inherit_score
     geocoderGrantScore: Boolean = true,    // geocoder_grant_score
     geocoderIgnoreOrder: Boolean = false,  // geocoder_ignore_order
-    geocoderRoutable: Boolean = false      // geocoder_routable
+    geocoderRoutable: Boolean = false,     // geocoder_routable
+    bounds: Seq[Double] = Seq(-180, -85, 180, 85) // source bounds [W,S,E,N]
 ) {
   def ndxKey: String = name
 

@@ -326,7 +326,7 @@ object Forward {
       query_id: Long, position: Int, tmpid: Long, idx: Int, mask: Int,
       relev: Double, text: String, zoom: Int, smRelev: Double,
       scoredist: Double, addrNum: String, partial: Boolean, addrPos: Int,
-      phraseHash: Int, matchesLang: Boolean,
+      phraseHash: Int, matchesLang: Boolean, x: Int, y: Int,
       featureId: Long, lon: Double, lat: Double, display: String,
       fFullText: String, fScore: Double, fLangTexts: Map[String, String],
       fOverrides: Map[String, String],
@@ -382,7 +382,30 @@ object Forward {
                           language: Option[String],
                           languageMode: String,
                           routing: Boolean,
+                          globalMaxScore: Double,
                           layerText: Map[Int, LayerTextInfo]): LeadOut = {
+    val out = resolveLeadCore(r, proximity, language, languageMode, routing,
+      layerText)
+    // Verify-stage scoredist recompute (verifymatch.js:481-521): with a
+    // proximity point, the sort scoredist comes from the feature's REAL
+    // resolved center distance (not the coalesce tile distance), scaled by
+    // the geocoder-wide max score.
+    proximity match {
+      case Some((plon, plat)) if out.featureId >= 0 && out.kind == 2 =>
+        val dist = Proximity.distance(plon, plat, out.lon, out.lat,
+          r.x, r.y, r.zoom)
+        out.copy(scoredist = Proximity.scoredist(out.fscore, 0.0,
+          math.max(globalMaxScore, 1.01), dist, r.zoom))
+      case _ => out
+    }
+  }
+
+  private def resolveLeadCore(r: LeadRaw,
+                              proximity: Option[(Double, Double)],
+                              language: Option[String],
+                              languageMode: String,
+                              routing: Boolean,
+                              layerText: Map[Int, LayerTextInfo]): LeadOut = {
     // F3 languageMode=strict (filter-sources.js:119-139), evaluated here
     // where the feature's text keys are in hand
     val langOk = r.featureId < 0 ||
@@ -489,16 +512,21 @@ object Forward {
 
     // (lon, lat, number, fromCluster, interpolated, omitted, addressIdx)
     val resolved: Option[(Double, Double, String, Boolean, Boolean, Boolean, Option[Int])] =
-      if (r.partial && clusterParts.nonEmpty) {
-        val distFn: (Double, Double) => Double = (lon, lat) => proximity match {
-          case Some((plon, plat)) =>
-            Proximity.distance(plon, plat, lon, lat, 0, 0, r.zoom)
-          case None => 0.0
+      if (r.partial) {
+        // partial-number searches never interpolate and never street-fall-
+        // back: ITP-only features are skipped outright (verifymatch.js:400-416)
+        if (clusterParts.isEmpty || clusterParts.forall(!_.isMultiPoint)) None
+        else {
+          val distFn: (Double, Double) => Double = (lon, lat) => proximity match {
+            case Some((plon, plat)) =>
+              Proximity.distance(plon, plat, lon, lat, 0, 0, r.zoom)
+            case None => 0.0
+          }
+          // partial matches display the matched cluster number
+          // (verifymatch.js:410 via forwardPrefixFiltered's carmen:address)
+          AddressCluster.forwardPrefixFiltered(clusterParts, number, distFn)
+            .map(p => (p._1.lon, p._1.lat, p._1.number, true, false, false, None))
         }
-        // partial matches display the matched cluster number
-        // (verifymatch.js:410 via forwardPrefixFiltered's carmen:address)
-        AddressCluster.forwardPrefixFiltered(clusterParts, number, distFn)
-          .map(p => (p._1.lon, p._1.lat, p._1.number, true, false, false, None))
       } else {
         // exact matches display the QUERY's number token: the reference sets
         // carmen:address = address.number before the lookup
@@ -560,8 +588,13 @@ object Forward {
           fromCluster = fromCluster, interpolated = interp, omitted = omit,
           overrides = eff, routablePoints = routablePts)
       case None =>
-        // street fallback (verifymatch.js:456-460, 489-492)
-        noPenalty.copy(addrPenalty = true)
+        if (r.partial)
+          // drop the feature entirely: no street fallback for prefixes
+          // (verifymatch.js:411-416); kind -1 = filtered out downstream
+          noPenalty.copy(kind = -1)
+        else
+          // street fallback (verifymatch.js:456-460, 489-492)
+          noPenalty.copy(addrPenalty = true)
     }
   }
 
@@ -577,13 +610,20 @@ object Forward {
     // layers of the base type whose scoreranges declare the subtype;
     // search joins run on the allowed subset; context fill still sees
     // every layer
+    def boundsOf(l: IndexBuilder.LayerIndex): (Double, Double, Double, Double) = {
+      val b = l.config.bounds
+      if (b.length == 4) (b(0), b(1), b(2), b(3)) else (-180.0, -85.0, 180.0, 85.0)
+    }
     val allowedLayers = index.layers.filter { l =>
       val stackOk = opts.stacks.isEmpty || l.config.stack.isEmpty ||
         l.config.stack.exists(s => opts.stacks.exists(_.equalsIgnoreCase(s)))
       val typeOk = opts.types.isEmpty || opts.types.contains(l.config.typ) ||
         l.config.scoreranges.keys.exists(sub =>
           opts.types.contains(s"${l.config.typ}.$sub"))
-      stackOk && typeOk
+      // F4: skip layers whose source bounds miss the option bbox
+      // (phrasematch.js:41-44, AM-crossing aware)
+      val bboxOk = opts.bbox.forall(b => Bbox.amIntersect(b, boundsOf(l)))
+      stackOk && typeOk && bboxOk
     }
     val searchIndex =
       if (allowedLayers.length == index.layers.length) index
@@ -717,8 +757,32 @@ object Forward {
       val qlen = rows.iterator.map(_.qlen).min // base hypothesis length
       val pms = rows.groupBy(r => (r.layer, r.mask, r.subquery, r.prefix,
           r.addrNum, r.partial, r.numberOrder, r.addrPos))
-        .map { case ((layer, mask, subq, pfx, addrNum, partial, numberOrder, addrPos), grs) =>
+        .flatMap { case ((layer, mask, subq, pfx, addrNum, partial, numberOrder, addrPos), grs0) =>
           val (cfg, scorefactor) = cfgs(layer)
+          // partial-number searches require the proximity point INSIDE the
+          // source bounds (proxMatch, phrasematch.js:46-48, 207) and keep
+          // only grids near the proximity point (nearby_only — the
+          // carmen-core behavior observable in
+          // geocode-unit.address-partial-number.js)
+          val grs =
+            if (!partial) grs0
+            else proximity match {
+              case Some((plon, plat))
+                if Bbox.amInside(plon, plat, {
+                  val b = cfg.bounds
+                  if (b.length == 4) (b(0), b(1), b(2), b(3))
+                  else (-180.0, -85.0, 180.0, 85.0)
+                }) =>
+                val radius = Proximity.scaleRadius(cfg.zoom)
+                grs0.filter { g =>
+                  val cLon = Mercator.ll((g.x + 0.5) * Mercator.TileSize, 0, cfg.zoom)._1
+                  val cLat = Mercator.ll(0, (g.y + 0.5) * Mercator.TileSize, cfg.zoom)._2
+                  Proximity.distance(plon, plat, cLon, cLat, g.x, g.y, cfg.zoom) < radius
+                }
+              case _ => Vector.empty
+            }
+          if (grs.isEmpty) None
+          else Some {
           // number-order penalty (phrasematch.js:357-369): the layer expects
           // the house number first/last and this match has it elsewhere
           val w0 = grs.head.weight
@@ -739,6 +803,7 @@ object Forward {
             }.toVector,
             addrNum, partial, catMatch = cfg.categories.contains(subq),
             addrPos = addrPos)
+          }
         }.toVector
       val sms = StackCoalesce.spatialmatch(qlen, pms, proximity, bboxB)
       sms.take(limitVerify).zipWithIndex.map { case (sm, i) =>
@@ -834,6 +899,7 @@ object Forward {
       col("tmpid"), col("idx"), col("mask"), col("relev"), col("text"),
       col("zoom"), col("smRelev"), col("scoredist"), col("addrNum"),
       col("partial"), col("addrPos"), col("phraseHash"), col("matchesLang"),
+      col("x"), col("y"),
       coalesce(col("feature_id"), lit(-1L)).as("featureId"),
       coalesce(col("center_lon"), lit(0.0)).as("lon"),
       coalesce(col("center_lat"), lit(0.0)).as("lat"),
@@ -872,9 +938,13 @@ object Forward {
     val language = opts.language
     val languageMode = opts.languageMode
     val routing = opts.routing
+    // geocoder-wide max score for the verify scoredist recompute
+    // (reference geocoder.maxScore, index.js:343-345)
+    val globalMaxScore =
+      if (index.layers.isEmpty) 1.0 else index.layers.map(_.scorefactor).max
     val leadOut = leadRaw
       .map(r => resolveLead(r, proximity, language, languageMode, routing,
-        layerTextBc.value))
+        globalMaxScore, layerTextBc.value))
       .toDF()
       .localCheckpoint()
 
@@ -1031,6 +1101,7 @@ object Forward {
           (VerifyRank.VResult(posn, lead.smRelev, lead.scoredist,
             covers.toVector, context, lead.featureId, ndxOf(lead.idx),
             addressNull = lead.number.isEmpty,
+            ghost = lead.fscore < 0,
             hasAddress = lead.number.nonEmpty, addressPos = lead.addressPos,
             fromCluster = lead.fromCluster, interpolated = lead.interpolated,
             omitted = lead.omitted, looseBumps = bumps),

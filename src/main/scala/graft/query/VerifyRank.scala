@@ -54,6 +54,7 @@ object VerifyRank {
                            covers: Vector[VCover], context: Vector[VCtx],
                            leadFeatureId: Long, leadNdx: Int,
                            addressNull: Boolean = true,
+                           ghost: Boolean = false,
                            hasAddress: Boolean = false, addressPos: Int = -1,
                            fromCluster: Boolean = false,
                            interpolated: Boolean = false,
@@ -219,7 +220,7 @@ object VerifyRank {
       val composite =
         if (proximitySet)
           graft.core.Proximity.relevanceScore(r.smRelev, r.scoredist,
-            r.addressNull, ghost = false)
+            r.addressNull, ghost = r.ghost)
         else 0.0
       // squishy bumps the lead's effective score: without proximity the
       // reference adds it straight onto scoredist (verifymatch.js:958-960)
