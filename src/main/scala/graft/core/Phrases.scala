@@ -20,8 +20,13 @@ object Phrases {
 
   final case class IndexablePhrase(relev: Double, phrase: String, hash: Int)
 
-  /** Term frequency table: term -> count, plus __COUNT__ and __MAX__. */
-  final case class Freq(counts: Map[String, Long], total: Long, maxScore: Double)
+  /** Term frequency table: term -> count, plus __COUNT__ and __MAX__.
+    * `defaultCount` is the lookup fallback — 1 normally; when the broadcast
+    * vocabulary was capped at web scale it is the cutoff count (an upper
+    * bound on any dropped term's true count).
+    */
+  final case class Freq(counts: Map[String, Long], total: Long,
+                        maxScore: Double, defaultCount: Long = 1)
 
   /** getMinimalIndexableText (reference termops.js:555-604), no-replacer path:
     * tokenized synonym texts used for corpus frequency counting.
@@ -83,7 +88,7 @@ object Phrases {
         numTokens = true
         weights(i) = -1
       } else {
-        val termfreq = freq.counts.getOrElse(tokens(i), 1L).toDouble
+        val termfreq = freq.counts.getOrElse(tokens(i), freq.defaultCount).toDouble
         val total = if (freq.total == 0) 1.0 else freq.total.toDouble
         weights(i) = StrictMath.log(1 + total / termfreq)
         weightsum += weights(i)

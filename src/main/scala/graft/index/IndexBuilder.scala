@@ -46,6 +46,9 @@ object IndexBuilder {
     */
   val MaxPrefixLen = 6
 
+  /** Driver-side term-frequency map cap (I8 at web scale). */
+  val VocabCap = 2 * 1024 * 1024
+
   final case class CarmenIndex(layers: Vector[LayerIndex]) {
     def layer(name: String): LayerIndex = layers.find(_.config.name == name).get
     def maxZoom: Int = layers.map(_.config.zoom).max
@@ -185,17 +188,30 @@ object IndexBuilder {
         .as[DocCover]
 
       // 2. corpus frequency (I8): distributed hash agg, broadcast result
-      // (reference indexdocs.js:68: simple + complex QUERY replacer)
-      val freqRows = docCovers
+      // (reference indexdocs.js:68: simple + complex QUERY replacer).
+      // The driver collect is capped at the top VocabCap terms by count
+      // (TakeOrdered, no global sort): a web-scale vocabulary cannot
+      // overflow the driver, and dropped tail terms fall back to the
+      // cutoff count — an upper bound on their true count, so their IDF
+      // weight is at most slightly underestimated.
+      val freqAgg = docCovers
         .flatMap { d =>
           val r = replBc.value
           Phrases.minimalIndexableTextFull(r.simple, r.complexQuery, r.global,
             d.text, d.langTexts.toVector.sortBy(_._1), housenumRangeOf(d)).flatten
         }
-        .groupByKey(identity).count().collect()
+        .groupByKey(identity).count()
+        .toDF("term", "cnt")
+        .localCheckpoint()
+      val total = freqAgg.agg(coalesce(sum(col("cnt")), lit(0L)))
+        .head().getLong(0)
+      val freqRows = freqAgg.orderBy(col("cnt").desc, col("term"))
+        .limit(VocabCap)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val defaultCount =
+        if (freqRows.length >= VocabCap) freqRows.map(_._2).min else 1L
       val maxScore = withCovers.agg(max(col("score"))).as[Double].head()
-      val freq = Phrases.Freq(freqRows.map { case (t, c) => (t, c) }.toMap,
-        freqRows.map(_._2).sum, maxScore)
+      val freq = Phrases.Freq(freqRows.toMap, total, maxScore, defaultCount)
       val freqBc = spark.sparkContext.broadcast(freq)
 
       // 3. phrase enumeration + grid assembly (I10/I11/I14), one flatMap

@@ -58,7 +58,7 @@ object MediaCodec {
       System.arraycopy(rgb, y * stride, raw, y * (stride + 1) + 1, stride)
       y += 1
     }
-    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    val deflater = new Deflater(Deflater.BEST_SPEED)
     deflater.setInput(raw)
     deflater.finish()
     val cbuf = new ByteArrayOutputStream()
@@ -72,6 +72,61 @@ object MediaCodec {
     chunk(out, "IEND", Array.emptyByteArray)
     out.flush()
     bos.toByteArray
+  }
+
+  /** Header-only probe: parse IHDR without inflating pixel data — the
+    * container scan a media-lake "probe" stage runs per file.
+    * Returns (width, height, bitDepth, colorType, channels).
+    */
+  def probePng(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    if (!isPng(bytes) || bytes.length < 33) return None
+    val buf = ByteBuffer.wrap(bytes)
+    buf.position(8)
+    val len = buf.getInt
+    val typ = new String(Array(buf.get, buf.get, buf.get, buf.get).map(_.toChar))
+    if (typ != "IHDR" || len != 13) return None
+    val width = buf.getInt
+    val height = buf.getInt
+    val bitDepth = buf.get & 0xff
+    val colorType = buf.get & 0xff
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 6 => 4; case _ => return None
+    }
+    if (width <= 0 || height <= 0) None
+    else Some((width, height, bitDepth, colorType, channels))
+  }
+
+  /** Header-only WAV probe: (sampleRate, nSamples, channels). */
+  def probeWav(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (!isWav(bytes)) return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    bb.position(12)
+    var sampleRate = 0
+    var channels = 0
+    var bits = 0
+    var nSamples = -1
+    while (bb.remaining() >= 8 && (nSamples < 0 || sampleRate == 0)) {
+      val typ = new String(Array(bb.get, bb.get, bb.get, bb.get).map(_.toChar))
+      val len = bb.getInt
+      if (len < 0 || len > bb.remaining()) return None
+      typ match {
+        case "fmt " =>
+          val fmtStart = bb.position()
+          val audioFormat = bb.getShort
+          channels = bb.getShort
+          sampleRate = bb.getInt
+          bb.getInt; bb.getShort
+          bits = bb.getShort
+          if (audioFormat != 1 || bits != 16) return None
+          bb.position(fmtStart + len)
+        case "data" =>
+          nSamples = len / 2
+          bb.position(bb.position() + len)
+        case _ => bb.position(bb.position() + len)
+      }
+    }
+    if (nSamples < 0 || sampleRate == 0) None
+    else Some((sampleRate, nSamples, channels))
   }
 
   /** Decode a PNG (8-bit gray/RGB/RGBA, non-interlaced): parses IHDR,

@@ -17,18 +17,17 @@ import org.apache.spark.sql.expressions.UserDefinedFunction
   */
 object Multimodal {
 
-  /** Container probe over real headers: PNG -> (image, w, h, channels),
+  /** Container probe over real headers — header parse ONLY (no pixel
+    * inflate / sample read): PNG -> (image, w, h, channels),
     * WAV -> (audio, sampleRate, nSamples, channels).
     */
   val probeUdf: UserDefinedFunction = udf((bytes: Array[Byte]) => {
     if (MediaCodec.isPng(bytes)) {
-      MediaCodec.decodePng(bytes).map(p =>
-        ("image", p.width, p.height, p.channels, bytes.length))
-        .orNull
+      MediaCodec.probePng(bytes).map { case (w, h, _, _, ch) =>
+        ("image", w, h, ch, bytes.length) }.orNull
     } else if (MediaCodec.isWav(bytes)) {
-      MediaCodec.decodeWav(bytes).map(w =>
-        ("audio", w.sampleRate, w.samples.length, w.channels, bytes.length))
-        .orNull
+      MediaCodec.probeWav(bytes).map { case (sr, n, ch) =>
+        ("audio", sr, n, ch, bytes.length) }.orNull
     } else null
   })
 
