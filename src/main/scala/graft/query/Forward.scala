@@ -115,7 +115,8 @@ object Forward {
                          qlen: Int, relev: Double, score3: Int,
                          id24: Long, x: Int, y: Int, phraseHash: Int,
                          addrPos: Int, addrNum: String, partial: Boolean,
-                         langSet: String, numberOrder: String)
+                         langSet: String, numberOrder: String,
+                         phrase: String, fuzzy: Boolean)
 
   /** Spatialmatch output row: one result with its covers. */
   final case class ResultRow(queryId: Long, rank: Int, relev: Double,
@@ -308,9 +309,13 @@ object Forward {
                       val b = Phrases.findMaskBounds(m, TextNormalize.MaxQueryTokens)
                       var weight = (b._2 - b._1 + 1).toDouble / origLen
                       if (initDist > 0) weight *= Fuzzy.editPenalty(subqText, initDist)
+                      // partial-number searches resolve with the ORIGINAL
+                      // query token (reference verifymatch.js:410 uses
+                      // query[0]), not the waffled subquery text
                       SubQ(qid, subqText, m, p.ender, weight, origLen,
                         p.addressPos.map(owner(_)).getOrElse(-1),
-                        p.addressNumber.getOrElse(""),
+                        p.addressNumber.getOrElse(
+                          if (partial) tokens.head else ""),
                         partial, g.qsig, p.numberOrder.getOrElse(""), initDist)
                     }
                   }
@@ -506,9 +511,10 @@ object Forward {
       }
     }
 
-    // the queried number: for partial searches the (single) query token is in
-    // the subquery text; otherwise the numTokenize-captured original token
-    val number = if (r.partial) r.text.split(" ").head else r.addrNum
+    // the queried number: the original query token in both cases (for
+    // partial searches addrNum carries query[0], verifymatch.js:410)
+    val number =
+      if (r.partial && r.addrNum.isEmpty) r.text.split(" ").head else r.addrNum
 
     // (lon, lat, number, fromCluster, interpolated, omitted, addressIdx)
     val resolved: Option[(Double, Double, String, Boolean, Boolean, Boolean, Option[Int])] =
@@ -666,6 +672,7 @@ object Forward {
           postings("qsig") === subs("qsig"))
       .drop(postings("qsig")).drop(subs("qsig"))
       .withColumn("is_prefix", lit(false))
+      .withColumn("is_fuzzy", lit(false))
     val withPrefix =
       if (!opts.autocomplete) exact
       else {
@@ -679,6 +686,7 @@ object Forward {
           .drop("pfx", "pfx_len", "qsig")
         val prefixMatched = searchIndex.allPostings.join(cand, Seq("layer", "phrase"))
           .withColumn("is_prefix", lit(true))
+          .withColumn("is_fuzzy", lit(false))
         exact.unionByName(prefixMatched.select(exact.columns.map(col): _*))
       }
 
@@ -715,6 +723,7 @@ object Forward {
               ap("phrase") === cand("cand_phrase"))
           .drop("cand_layer", "cand_phrase", "edit")
           .withColumn("is_prefix", lit(false))
+          .withColumn("is_fuzzy", lit(true))
         withPrefix.unionByName(fuzzyMatched.select(withPrefix.columns.map(col): _*))
       }
 
@@ -743,7 +752,8 @@ object Forward {
       col("is_prefix").as("prefix"), col("qlen"), col("relev"), col("score3"),
       col("id24"), col("x"), col("y"), col("phrase_hash").as("phraseHash"),
       col("addrPos"), col("addrNum"), col("partial"),
-      col("lang_set").as("langSet"), col("numberOrder")
+      col("lang_set").as("langSet"), col("numberOrder"),
+      col("phrase"), col("is_fuzzy").as("fuzzy")
     ).as[PmRow]
 
     val proximity = opts.proximity
@@ -756,8 +766,8 @@ object Forward {
       val rows = it.toVector
       val qlen = rows.iterator.map(_.qlen).min // base hypothesis length
       val pms = rows.groupBy(r => (r.layer, r.mask, r.subquery, r.prefix,
-          r.addrNum, r.partial, r.numberOrder, r.addrPos))
-        .flatMap { case ((layer, mask, subq, pfx, addrNum, partial, numberOrder, addrPos), grs0) =>
+          r.addrNum, r.partial, r.numberOrder, r.addrPos, r.fuzzy))
+        .flatMap { case ((layer, mask, subq, pfx, addrNum, partial, numberOrder, addrPos, fuzzy), grs0) =>
           val (cfg, scorefactor) = cfgs(layer)
           // partial-number searches require the proximity point INSIDE the
           // source bounds (proxMatch, phrasematch.js:46-48, 207) and keep
@@ -802,10 +812,36 @@ object Forward {
                   langs.contains("all") || langs.contains(target))
             }.toVector,
             addrNum, partial, catMatch = cfg.categories.contains(subq),
-            addrPos = addrPos)
+            addrPos = addrPos, fuzzy = fuzzy,
+            nPhrases = grs.iterator.map(_.phrase).toSet.size)
           }
         }.toVector
-      val sms = StackCoalesce.spatialmatch(qlen, pms, proximity, bboxB)
+      // P1 suppressions, per source (phrasematch.js:385-402): at z>=14 a
+      // source with both single-char and longer matches (and no partial-
+      // number search) drops the single-char ones; masks accumulating > 6
+      // short fuzzy corrections while a correctly-spelled alternative
+      // exists drop those corrections.
+      val pmsFiltered = pms.groupBy(_.idx).values.flatMap { layerPms0 =>
+        val layerPms = layerPms0.toVector
+        val anyPartial = layerPms.exists(_.partial)
+        val afterSingle =
+          if (layerPms.head.zoom >= 14 && !anyPartial &&
+            layerPms.exists(_.subquery.length == 1) &&
+            layerPms.exists(_.subquery.length > 1))
+            layerPms.filter(_.subquery.length > 1)
+          else layerPms
+        def isShort(pm: StackCoalesce.Pm): Boolean =
+          !pm.subquery.contains(' ') || pm.subquery.length <= 6
+        val fuzzyShortCount: Map[Int, Int] = afterSingle
+          .filter(pm => pm.fuzzy && isShort(pm))
+          .groupBy(_.mask).map { case (m, v) => m -> v.map(_.nPhrases).sum }
+        val hasCorrect: Set[Int] = afterSingle.filter(!_.fuzzy).map(_.mask).toSet
+        afterSingle.filter { pm =>
+          !(pm.fuzzy && isShort(pm) && hasCorrect.contains(pm.mask) &&
+            fuzzyShortCount.getOrElse(pm.mask, 0) > 6)
+        }
+      }.toVector
+      val sms = StackCoalesce.spatialmatch(qlen, pmsFiltered, proximity, bboxB)
       sms.take(limitVerify).zipWithIndex.map { case (sm, i) =>
         ResultRow(qid, i + 1, JsNum.roundTo(sm.relev, 4), sm.scoredist,
           sm.covers.map(c => CoverRow(c.idx, layerOf(cfgs, c.idx), c.id24,

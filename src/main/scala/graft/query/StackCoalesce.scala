@@ -34,7 +34,9 @@ object StackCoalesce {
       addrNum: String = "",     // numTokenize-captured house number token
       partial: Boolean = false, // proximity partial-number search
       catMatch: Boolean = false,// subquery matches a layer category
-      addrPos: Int = -1         // number-token position in the query (V12 sort)
+      addrPos: Int = -1,        // number-token position in the query (V12 sort)
+      fuzzy: Boolean = false,   // fuzzy-matched (edit distance > 0)
+      nPhrases: Int = 1         // distinct index phrases merged into this Pm
   )
 
   /** One inverted-index grid row (decoded). */
@@ -46,8 +48,11 @@ object StackCoalesce {
     * capped at StackableLimit, explored best-potential-relev-first.
     */
   def stackable(pms: Vector[Pm]): Vector[Vector[Pm]] = {
-    // order by weight desc so the cap keeps the highest-potential stacks
-    val sorted = pms.sortBy(pm => (-pm.weight, pm.idx, pm.mask))
+    // order by weight desc so the cap keeps the highest-potential stacks;
+    // subquery/fuzzy complete the key so ties don't depend on upstream
+    // grouping (HashMap) iteration order
+    val sorted = pms.sortBy(pm => (-pm.weight, pm.idx, pm.mask,
+      pm.subquery, pm.fuzzy))
     val out = mutable.ArrayBuffer.empty[Vector[Pm]]
 
     def extend(start: Int, acc: List[Pm], mask: Int, ndxs: Set[Int],
