@@ -172,7 +172,7 @@ object TileCover {
     * covered per member geometry and concatenated, as the indexer does.
     */
   def zxy(geom: Geom, zoom: Int): Vector[String] = geom match {
-    case Collection(gs) => gs.flatMap(g => zxy(g, zoom))
+    case Collection(gs) => gs.flatMap(g => zxy(g, zoom)).distinct
     case g              => cover(g, zoom).map { case (x, y) => s"$zoom/$x/$y" }
   }
 }

@@ -65,8 +65,20 @@ object IndexBuilder {
           lit(l.config.name).as("layer"), col("z"), col("x"), col("y"),
           col("id").as("feature_id"), col("id24"), col("text"), col("score"),
           col("center_lon").as("f_lon"), col("center_lat").as("f_lat"),
-          col("geom_bin"), col("geom_type"), col("langTexts"))
+          col("geom_bin"), col("geom_type"), col("langTexts"),
+          col("types"), lit(l.config.conflictKey).as("conflict"))
       }.reduce(_ unionByName _).cache()
+    /** Worldviews configured across layers ("default" first). */
+    lazy val worldviews: Vector[String] = {
+      val declared = layers.map(_.config.worldview).filter(_.nonEmpty).distinct
+      if (declared.isEmpty) Vector("default") else declared
+    }
+    /** Layer idxs visible to a worldview (reference byworldview,
+      * index.js:139-153): "" layers are in every worldview.
+      */
+    def idxsForWorldview(wv: String): Set[Int] =
+      layers.filter(l => l.config.worldview.isEmpty || l.config.worldview == wv)
+        .map(_.config.idx).toSet
     /** Distinct layer zooms (for point -> per-zoom tile explosion). */
     lazy val zooms: Vector[Int] = layers.map(_.config.zoom).distinct.sorted
     /** Union of all layers' fuzzy delete-variant tables. */
@@ -174,6 +186,9 @@ object IndexBuilder {
         .withColumn("centerLat", col("center_fixed").getItem(1))
         .drop("center_fixed")
         .withColumn("id24", pmod(abs(col("id")), lit(1L << 24)))
+        // carmen:types default [source type] (reference feature.js:124)
+        .withColumn("types", when(size(col("types")) > 0, col("types"))
+          .otherwise(array(lit(cfg.typ))))
         .withColumn("num_geoms", numGeomsUdf(col("geometry")))
         .withColumn("geom_bin", geomBinUdf(col("geometry")))
         .withColumn("geom_type", geomTypeUdf(col("geometry")))
@@ -309,7 +324,7 @@ object IndexBuilder {
       val tileFeatures = withCovers
         .select(col("id"), col("id24"), col("text"), col("score"),
           col("centerLon").as("center_lon"), col("centerLat").as("center_lat"),
-          col("geom_bin"), col("geom_type"), col("langTexts"),
+          col("geom_bin"), col("geom_type"), col("langTexts"), col("types"),
           explode(col("zxy")).as("zxy_str"))
         .withColumn("z", split(col("zxy_str"), "/").getItem(0).cast("int"))
         .withColumn("x", split(col("zxy_str"), "/").getItem(1).cast("int"))

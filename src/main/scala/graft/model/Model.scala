@@ -34,9 +34,25 @@ final case class LayerConfig(
     geocoderGrantScore: Boolean = true,    // geocoder_grant_score
     geocoderIgnoreOrder: Boolean = false,  // geocoder_ignore_order
     geocoderRoutable: Boolean = false,     // geocoder_routable
-    bounds: Seq[Double] = Seq(-180, -85, 180, 85) // source bounds [W,S,E,N]
+    bounds: Seq[Double] = Seq(-180, -85, 180, 85), // source bounds [W,S,E,N]
+    // geocoder_types: multi-type sources ("region" source that can also
+    // stack as "place"); empty = [typ] (reference index.js:292-295)
+    geocoderTypes: Seq[String] = Nil,
+    // geocoder_worldview: "" = present in every worldview ("_all"),
+    // otherwise only queries with this worldview see the layer
+    // (reference index.js:139-153)
+    worldview: String = "",
+    // geocoder_reverse_mode: layer participates in reverseMode=score
+    // distscore ordering (reference context.js:456). The engine defaults
+    // this ON: score-mode reverse over layers without the flag is the
+    // uncommon configuration.
+    geocoderReverseMode: Boolean = true
 ) {
   def ndxKey: String = name
+  /** Types this source can stack as (reference bytype registration). */
+  def allTypes: Seq[String] = if (geocoderTypes.nonEmpty) geocoderTypes else Seq(typ)
+  /** carmen:conflict key (reference context.js:652). */
+  def conflictKey: String = if (name != typ) name else ""
 
   /** Signature of the query-side text-processing config: layers sharing it
     * can share one enumerated-subquery set.
@@ -71,7 +87,10 @@ final case class GeoDoc(
     overrides: Map[String, String] = Map.empty, // "override:{type}" -> text
     // carmen:addressprops: prop -> (address idx -> value); "" deletes the
     // base prop for that address (reference addresscluster.js:33-50)
-    addressprops: Map[String, Map[Int, String]] = Map.empty
+    addressprops: Map[String, Map[Int, String]] = Map.empty,
+    // carmen:types: the stack types this feature can claim, coarse->fine;
+    // empty = [layer type] (reference feature.js:124, context.js:186-188)
+    types: Seq[String] = Nil
 )
 
 /** One phrase posting grid row (flattened gridstore entry). */

@@ -43,14 +43,17 @@ object Forward {
       types: Seq[String] = Nil,                       // F2/F3 layer-type filter (+subtypes)
       stacks: Seq[String] = Nil,                      // F2 country-stack filter
       bbox: Option[(Double, Double, Double, Double)] = None, // F4/F5 (W,S,E,N)
-      routing: Boolean = false                        // V9 routable points
+      routing: Boolean = false,                       // V9 routable points
+      worldview: String = ""                          // "" = first configured
   )
 
   /** F1 option validation with the reference's error messages
     * (reference lib/geocoder/geocode.js:67-147). None = valid.
     */
   def validateOptions(index: CarmenIndex, opts: Options): Option[String] = {
-    val types = index.layers.map(_.config.typ).distinct
+    if (opts.worldview.nonEmpty && !index.worldviews.contains(opts.worldview))
+      return Some("Worldview must be one of " + index.worldviews.mkString(", "))
+    val types = index.layers.flatMap(_.config.allTypes).distinct
     val subtypes = index.layers.flatMap(l =>
       l.config.scoreranges.keys.map(s => s"${l.config.typ}.$s")).distinct
     val acceptable = (types ++ subtypes).distinct
@@ -140,13 +143,28 @@ object Forward {
                          pos: Int, matchingText: String,
                          overrides: Map[String, String], langOk: Boolean,
                          routablePoints: String,
-                         langTexts: Map[String, String])
+                         langTexts: Map[String, String],
+                         // context claimed type + stack order (R8); lead
+                         // carmen:types array (kind 2)
+                         ctyp: String, corder: Int, allTypes: Seq[String])
+
+  /** Per-lead context-fill meta (maxidx source + maxtype). */
+  final case class CtxMeta(query_id: Long, sub: Int, lead_idx: Int,
+                           maxtype: String)
+
+  /** One stacked context element out of the R8 kernel. */
+  final case class CtxOut(query_id: Long, position: Int, idx: Int,
+                          feature_id: Long, text: String, score: Double,
+                          center_lon: Double, center_lat: Double,
+                          lang_texts: Map[String, String], ctyp: String,
+                          corder: Int)
 
   final case class FinalRow(query_id: Long, rank: Int, relev: Double,
                             scoredist: Double, place_name: String,
                             feature_id: Long, center_lon: Double,
                             center_lat: Double, lead_idx: Int,
-                            matching_text: String, routable_points: String)
+                            matching_text: String, routable_points: String,
+                            place_type: String)
 
   /** One query-side text-processing group: layers sharing geocoder_tokens /
     * address behavior share one enumerated-subquery set.
@@ -173,7 +191,8 @@ object Forward {
                         interpolated: Boolean, addrKey: Option[String],
                         matchingText: String, leadText: String,
                         leadScore: Double, langOk: Boolean,
-                        routablePoints: String)
+                        routablePoints: String,
+                        leadTypes: Seq[String] = Nil)
 
   /** T18 whitespace corrector (reference lib/util/whitespace.js): split
     * letters+digits fused tokens ("fake123" -> "fake 123") as a second
@@ -341,7 +360,7 @@ object Forward {
       fRfromhn: Seq[Seq[String]], fRtohn: Seq[Seq[String]],
       fParityl: Seq[Seq[String]], fParityr: Seq[Seq[String]],
       fIntersections: Seq[Seq[String]],
-      addressLayer: Boolean)
+      addressLayer: Boolean, fTypes: Seq[String])
 
   final case class LeadOut(
       query_id: Long, position: Int, kind: Int, tmpid: Long, idx: Int,
@@ -361,7 +380,10 @@ object Forward {
       // V9 routable point "lon,lat" (empty when none / not requested)
       routablePoints: String = "",
       // carmen:text_{lang} map for language-aware textAlike (V13)
-      langTexts: Map[String, String] = Map.empty)
+      langTexts: Map[String, String] = Map.empty,
+      // carmen:types of the lead feature: the LAST entry is its extid type
+      // and the context maxtype (verifymatch.js:476-478, 546)
+      leadTypes: Seq[String] = Nil)
 
   /** Per-layer text info for verify/format (simple replacer, intersection
     * token, category set, routable flag).
@@ -439,7 +461,7 @@ object Forward {
         case (k, v) if k.startsWith("override:") && v.nonEmpty =>
           k.stripPrefix("override:") -> v
       },
-      langOk = langOk, langTexts = r.fLangTexts)
+      langOk = langOk, langTexts = r.fLangTexts, leadTypes = r.fTypes)
     if (!r.addressLayer || r.featureId < 0) return noPenalty
 
     // pre-parsed binary geometry: no JSON parse per candidate
@@ -620,16 +642,21 @@ object Forward {
       val b = l.config.bounds
       if (b.length == 4) (b(0), b(1), b(2), b(3)) else (-180.0, -85.0, 180.0, 85.0)
     }
+    // worldview visibility (reference byworldview, index.js:139-153)
+    val wvIdxs = index.idxsForWorldview(
+      if (opts.worldview.nonEmpty) opts.worldview else index.worldviews.head)
     val allowedLayers = index.layers.filter { l =>
       val stackOk = opts.stacks.isEmpty || l.config.stack.isEmpty ||
         l.config.stack.exists(s => opts.stacks.exists(_.equalsIgnoreCase(s)))
-      val typeOk = opts.types.isEmpty || opts.types.contains(l.config.typ) ||
+      // multi-type sources match on any of their geocoder_types (bytype)
+      val typeOk = opts.types.isEmpty ||
+        opts.types.exists(t => l.config.allTypes.contains(t)) ||
         l.config.scoreranges.keys.exists(sub =>
           opts.types.contains(s"${l.config.typ}.$sub"))
       // F4: skip layers whose source bounds miss the option bbox
       // (phrasematch.js:41-44, AM-crossing aware)
       val bboxOk = opts.bbox.forall(b => Bbox.amIntersect(b, boundsOf(l)))
-      stackOk && typeOk && bboxOk
+      stackOk && typeOk && bboxOk && wvIdxs.contains(l.config.idx)
     }
     val searchIndex =
       if (allowedLayers.length == index.layers.length) index
@@ -763,6 +790,10 @@ object Forward {
     // 3. per-query spatialmatch
     val results = pmRows.groupByKey(_.queryId).flatMapGroups { (qid, it) =>
       val (cfgs, ndxs) = cfgBc.value
+      // idx-keyed layer-name lookup, built once per query group (no
+      // collectFirst scan per cover row)
+      val nameByIdx: Map[Int, String] =
+        cfgs.map { case (name, (c, _)) => c.idx -> name }
       val rows = it.toVector
       val qlen = rows.iterator.map(_.qlen).min // base hypothesis length
       val pms = rows.groupBy(r => (r.layer, r.mask, r.subquery, r.prefix,
@@ -844,7 +875,7 @@ object Forward {
       val sms = StackCoalesce.spatialmatch(qlen, pmsFiltered, proximity, bboxB)
       sms.take(limitVerify).zipWithIndex.map { case (sm, i) =>
         ResultRow(qid, i + 1, JsNum.roundTo(sm.relev, 4), sm.scoredist,
-          sm.covers.map(c => CoverRow(c.idx, layerOf(cfgs, c.idx), c.id24,
+          sm.covers.map(c => CoverRow(c.idx, nameByIdx.getOrElse(c.idx, "?"), c.id24,
             c.x, c.y, c.zoom, c.relev, c.score, c.tmpid, c.mask, c.text,
             c.addrNum, c.partial, c.phraseHash, c.addrPos, c.matchesLanguage)))
       }.iterator
@@ -871,7 +902,8 @@ object Forward {
         col("parityl").as("f_parityl"), col("parityr").as("f_parityr"),
         col("intersections").as("f_intersections"),
         col("zxy").cast("array<string>").as("f_zxy"),
-        lit(l.config.geocoderAddress).as("f_is_address"))
+        lit(l.config.geocoderAddress).as("f_is_address"),
+        col("types").as("f_types"))
     }.reduce(_ unionByName _)
 
     val exploded = results.select(col("queryId").as("query_id"),
@@ -958,7 +990,8 @@ object Forward {
       coalesce(col("f_parityl"), emptyNested).as("fParityl"),
       coalesce(col("f_parityr"), emptyNested).as("fParityr"),
       coalesce(col("f_intersections"), emptyNested).as("fIntersections"),
-      coalesce(col("f_is_address"), lit(false)).as("addressLayer"))
+      coalesce(col("f_is_address"), lit(false)).as("addressLayer"),
+      coalesce(col("f_types"), lit(array()).cast("array<string>")).as("fTypes"))
       .as[LeadRaw]
     // per-layer text info for V3 intersection matching + O1 formatting
     // inside resolveLead
@@ -991,7 +1024,8 @@ object Forward {
       col("fullText"), col("fscore"), col("addressPos"), col("fromCluster"),
       col("interpolated"), col("omitted"), lit(0).as("pos"),
       col("matchingText"), col("overrides"), col("langOk"),
-      col("routablePoints"), col("langTexts"))
+      col("routablePoints"), col("langTexts"),
+      lit("").as("ctyp"), lit(0).as("corder"), col("leadTypes").as("allTypes"))
 
     // cover rows (kind 0); the pos==0 cover takes the street-fallback
     // penalty when its address number failed to resolve
@@ -1012,10 +1046,16 @@ object Forward {
       col("pos"), lit("").as("matchingText"),
       map().cast("map<string,string>").as("overrides"), lit(true).as("langOk"),
       lit("").as("routablePoints"),
-      map().cast("map<string,string>").as("langTexts"))
+      map().cast("map<string,string>").as("langTexts"),
+      lit("").as("ctyp"), lit(0).as("corder"),
+      lit(array()).cast("array<string>").as("allTypes"))
 
     // context rows (kind 1): reverse-lookup of the lead center in every
-    // layer coarser than the lead (reference verifymatch.js:542-559).
+    // layer coarser than the lead's name-group firstidx (maxidx,
+    // verifymatch.js:542-548), stacked with the FULL stackFeatures
+    // semantics — forward-phrasematch priority from the query's cover sets
+    // (R4/R5), carmen:conflict keys, maxtype exclusion and multi-type
+    // shifting (R8, context.js:116-254).
     // O1: context display text is language-selected (format-features.js:93).
     val langSelUdf = udf((text: String, langTexts: Map[String, String]) =>
       ClosestLang.getText(language,
@@ -1025,13 +1065,48 @@ object Forward {
       if (language.isEmpty) substring_index(col("text"), ",", 1)
       else langSelUdf(col("text"),
         coalesce(col("lang_texts"), map().cast("map<string,string>")))
-    val leadPts = leadRows.select(col("query_id"), col("position"),
-      col("idx").as("lead_idx"), col("lon"), col("lat"))
-    val contextRows =
-      Reverse.picks(leadPts, index, Seq("query_id", "position"), radiusMiles = 0.0)
-        .join(leadPts.select(col("query_id"), col("position"), col("lead_idx")),
-          Seq("query_id", "position"))
-        .where(col("idx") < col("lead_idx"))
+    // matched sets: every verified cover tmpid of the query (the reference's
+    // `sets` — approximated by the top-limitVerify results' covers, the
+    // same documented equivalence as V1/V14)
+    val matchedSets = exploded.select(col("query_id"), col("tmpid")).distinct()
+    val byNameFirstIdx: Map[Int, Int] = {
+      val byName = index.layers.groupBy(_.config.name)
+      index.layers.map(l =>
+        l.config.idx -> byName(l.config.name).map(_.config.idx).min).toMap
+    }
+    val leadMeta = leadRows.where(col("kind") === 2)
+      .select(col("query_id"), col("position").as("sub"),
+        col("idx").as("lead_idx"), col("lon"), col("lat"),
+        coalesce(element_at(col("allTypes"), -1), lit("")).as("maxtype"))
+      .localCheckpoint()
+    val ctxCands = Reverse.candidates(
+      leadMeta.select(col("query_id"), col("sub"), col("lon"), col("lat")),
+      index, distanceMode = false, radiusMiles = 0.0,
+      matchedDf = Some(matchedSets), allowedIdxs = Some(wvIdxs))
+    val metaDs = leadMeta.select(col("query_id"), col("sub"),
+      col("lead_idx"), col("maxtype")).as[CtxMeta]
+    val firstIdxB = byNameFirstIdx
+    val ctxStacked = ctxCands
+      .joinWith(metaDs, ctxCands("query_id") === metaDs("query_id") &&
+        ctxCands("sub") === metaDs("sub"))
+      .filter(p => p._1.idx < firstIdxB.getOrElse(p._2.lead_idx, p._2.lead_idx))
+      .groupByKey(p => (p._1.query_id, p._1.sub))
+      .flatMapGroups { (key: (Long, Int), it) =>
+        val (qid, pos) = key
+        val v = it.toVector
+        val maxtype = v.head._2.maxtype
+        val rows = v.map(_._1)
+        val picks = rows.groupBy(_.idx).toVector.sortBy(_._1)
+          .flatMap { case (_, rs) =>
+            Reverse.pickPerIdx(rs, scoreMode = false,
+              scoreModeEnabled = false, None, None)
+          }
+        Reverse.stackMemo(picks, Reverse.StackOpts(maxtype = maxtype))
+          .map(s => CtxOut(qid, pos, s.cand.idx, s.cand.feature_id,
+            s.cand.text, s.cand.score, s.cand.center_lon, s.cand.center_lat,
+            s.cand.langTexts, s.claimedType, s.order)).iterator
+      }.toDF()
+    val contextRows = ctxStacked
         .select(col("query_id"), col("position"), lit(1).as("kind"),
           (col("idx").cast("long") * (1L << 25) +
             pmod(abs(col("feature_id")), lit(1L << 24))).as("tmpid"),
@@ -1048,7 +1123,9 @@ object Forward {
           map().cast("map<string,string>").as("overrides"),
           lit(true).as("langOk"), lit("").as("routablePoints"),
           coalesce(col("lang_texts"),
-            map().cast("map<string,string>")).as("langTexts"))
+            map().cast("map<string,string>")).as("langTexts"),
+          col("ctyp"), col("corder"),
+          lit(array()).cast("array<string>").as("allTypes"))
 
     val tagged = coverRows.unionByName(leadRows).unionByName(contextRows)
       .as[VRowT]
@@ -1088,8 +1165,11 @@ object Forward {
           // element no longer matches any cover (no tmpid), and each peer
           // lead already carrying the override text earns a loose-relev bump
           var bumps = 0
+          // R8: context order is the stackFeatures claim order (corder),
+          // fine->coarse, not plain idx order (shifting can reorder)
           val ctx: Vector[(VRowT, Boolean)] =
-            rs.filter(_.kind == 1).sortBy(-_.idx).map { r =>
+            rs.filter(_.kind == 1).sortBy(_.corder).map { r =>
+              // override:{type} keys on the SOURCE type (verifymatch.js:598)
               val typ = typFmtOf(r.idx)._1
               lead.overrides.get(typ) match {
                 case Some(ov) if r.fullText != ov =>
@@ -1119,8 +1199,16 @@ object Forward {
           // place_name is always built with matched=false (format-features
           // .js:162); the recovered matching_text is a SEPARATE output field
           // (matching_place_name uses it, place_name never does).
-          val ctxFeats = (lead +: ctx.map(_._1)).map(r =>
-            FormatPlace.CtxFeat(typFmtOf(r.idx)._1, r.display, r.number)).toVector
+          // extid type: lead = last of carmen:types (verifymatch.js:476-478),
+          // context = the type it CLAIMED in stackFeatures (context.js:211)
+          val leadTyp =
+            if (lead.allTypes.nonEmpty) lead.allTypes.last
+            else typFmtOf(lead.idx)._1
+          def ctxTyp(r: VRowT): String =
+            if (r.ctyp.nonEmpty) r.ctyp else typFmtOf(r.idx)._1
+          val ctxFeats = FormatPlace.CtxFeat(leadTyp, lead.display, lead.number) +:
+            ctx.map { case (r, _) =>
+              FormatPlace.CtxFeat(ctxTyp(r), r.display, r.number) }.toVector
           val placeName = FormatPlace.placeName(ctxFeats, typFmtOf(lead.idx)._2)
           // O2 address-unique dedupe key (format-features.js:320-374):
           // cover texts + context extids; skipped for short address queries
@@ -1131,7 +1219,7 @@ object Forward {
             if (lead.number.nonEmpty && !shortAddress) {
               val coverTexts = covers.map(" " + _.text).mkString
               val ctxIds = ctx.map { case (r, _) =>
-                s"${typFmtOf(r.idx)._1}.${r.featureId}" }
+                s"${ctxTyp(r)}.${r.featureId}" }
               Some("_" + (coverTexts +: ctxIds).mkString(":"))
             } else None
           (VerifyRank.VResult(posn, lead.smRelev, lead.scoredist,
@@ -1144,7 +1232,9 @@ object Forward {
             Meta(placeName, lead.featureId, lead.lon, lead.lat, lead.idx,
               lead.number, lead.omitted, lead.interpolated, addrKey,
               lead.matchingText, lead.fullText, lead.fscore, lead.langOk,
-              lead.routablePoints))
+              lead.routablePoints,
+              if (lead.allTypes.nonEmpty) lead.allTypes else
+                Seq(typFmtOf(lead.idx)._1)))
         }
       }
       val meta = vresults.map { case (vr, m) => vr.position -> m }.toMap
@@ -1166,11 +1256,15 @@ object Forward {
       // check and languageMode=strict verdict on the lead feature
       def typeAllowed(m: Meta): Boolean =
         typesB.isEmpty || {
-          val typ = typFmtOf(m.leadIdx)._1
+          // carmen:types MEMBERSHIP, not just the source type — multi-type
+          // features pass any of their types (filter-sources.js:80-110)
+          val types =
+            if (m.leadTypes.nonEmpty) m.leadTypes
+            else Seq(typFmtOf(m.leadIdx)._1)
           typesB.exists { t =>
             val parts = t.split("\\.", 2)
-            if (parts.length == 1) typ == t
-            else typ == parts(0) && cfgByIdx.get(m.leadIdx).exists {
+            if (parts.length == 1) types.contains(t)
+            else types.contains(parts(0)) && cfgByIdx.get(m.leadIdx).exists {
               case (name, c) =>
                 c.scoreranges.get(parts(1)).exists { r =>
                   val sf = cfgs(name)._2
@@ -1200,7 +1294,9 @@ object Forward {
         if (out.length != ranked.length) out.sortBy(-_._1.relevance) else out
       resorted.iterator.take(limit).zipWithIndex.map { case ((v, m), i) =>
         FinalRow(qid, i + 1, v.relevance, v.scoredist, m.placeName, m.fid,
-          m.lon, m.lat, m.leadIdx, m.matchingText, m.routablePoints)
+          m.lon, m.lat, m.leadIdx, m.matchingText, m.routablePoints,
+          if (m.leadTypes.nonEmpty) m.leadTypes.last
+          else typFmtOf(m.leadIdx)._1)
       }
     }
 
@@ -1208,10 +1304,8 @@ object Forward {
       .select(col("query_id"), col("rank"), col("relev"), col("scoredist"),
         col("place_name"), col("feature_id"), col("center_lon"),
         col("center_lat"), col("lead_idx"), col("matching_text"),
-        col("routable_points"))
+        col("routable_points"), col("place_type"))
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private def layerOf(cfgs: Map[String, (LayerConfig, Double)], idx: Int): String =
-    cfgs.collectFirst { case (name, (c, _)) if c.idx == idx => name }.getOrElse("?")
 }

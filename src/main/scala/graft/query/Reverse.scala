@@ -1,14 +1,14 @@
 package graft.query
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core._
 import graft.index.IndexBuilder.CarmenIndex
 import graft.ops.GeoOps
 
-/** Batch reverse geocode: points -> per-layer tile lookup -> nearest/PIP
-  * pick -> stacked context (reference lib/geocoder/context.js).
+/** Batch reverse geocode: points -> per-layer tile lookup -> per-layer
+  * candidate pick -> stacked context (reference lib/geocoder/context.js).
   *
   * The lookup is ONE partition-prunable equi-join: each point explodes to
   * its tile at every distinct layer zoom, joined against the unified
@@ -16,8 +16,15 @@ import graft.ops.GeoOps
   * LRU-cached per-layer vector-tile fetch (context.js:309-371), but with a
   * single shuffle regardless of layer count. Containment is exact
   * ray-casting for polygons (direct hit, distance 0); otherwise haversine
-  * distance to the feature center with the reference's pick order
-  * min(distance, id) and ghost filtering (context.js:480-542).
+  * distance to the feature center.
+  *
+  * R4/R5: the join keeps a per-layer CANDIDATE LIST (the vtquery limit-5 /
+  * limit-100 result set, context.js:583-606), and [[pickPerIdx]] ports
+  * processVtQueryResults' pick order — forward phrasematch > ghost
+  * phrasematch > plain nearest, with the exclusive-target short-circuit
+  * (context.js:448-556). R8: [[stackMemo]] ports stackFeatures fully —
+  * carmen:types multi-type shifting, carmen:conflict keys, maxtype
+  * exclusion and reference replacement rules (context.js:168-254).
   */
 object Reverse {
 
@@ -34,6 +41,10 @@ object Reverse {
   def distscoreCol(dist: Column, score: Column): Column =
     round(score * (lit(1000.0) / greatest(dist, lit(35.0))) * lit(1.0e4)) / lit(1.0e4)
 
+  /** Scalar twin of [[distscoreCol]] for the pick kernel. */
+  def distscoreScalar(dist: Double, score: Double): Double =
+    math.round(score * (1000.0 / math.max(dist, 35.0)) * 1.0e4) / 1.0e4
+
   /** The reference's vtquery radius: 1000 web-mercator units of a 4096-unit
     * tile at the layer zoom, converted to miles at the equator
     * (reference lib/geocoder/context.js:583).
@@ -41,26 +52,58 @@ object Reverse {
   def vtqueryRadiusMiles(zoom: Int): Double =
     24901.46 / (1L << zoom) * (1000.0 / 4096.0)
 
-  /** Best feature per (keys, layer) for a set of points: single tile join
-    * over all layers. Shared by reverse geocode and forward context fill.
-    * radiusMiles <= 0 selects the per-layer vtquery default radius.
+  /** vtquery limit in reverseMode=distance (context.js:583-588). */
+  val DistanceModeLimit = 5
+  /** vtquery limit otherwise — score mode and forward context fill
+    * (context.js:600-606).
     */
-  def picks(points: DataFrame, index: CarmenIndex, keys: Seq[String],
-            radiusMiles: Double): DataFrame =
-    picksDetailed(points, index, keys, ReverseOptions(radiusMiles = radiusMiles))
-      .select(keys.map(col) ++ Seq(col("idx"), col("layer"), col("feature_id"),
-        col("text"), col("dist_miles"), col("score"), col("center_lon"),
-        col("center_lat"), col("lang_texts")): _*)
+  val ContextModeLimit = 100
 
-  /** picks with score/geometry-type columns, score-range filtering, and the
-    * per-layer distscore ordering of reverse score mode
-    * (reference context.js:456-471, R5).
+  final case class ReverseOptions(
+      limit: Int = 1,
+      reverseMode: String = "distance", // "distance" | "score" (R5)
+      types: Seq[String] = Nil,         // result-type filter
+      scoreFilter: Option[(Double, Double)] = None, // manual scoreranges window
+      radiusMiles: Double = 0.0,
+      worldview: String = "")           // "" = first configured worldview
+
+  /** One reverse candidate out of the tile join (R4): rank `rnk` within its
+    * (query, sub, layer) group by (distance, id) — the engine's vtquery
+    * result list. `sub` disambiguates multiple lookups per query (forward
+    * result position, nearest-k rank); 0 for plain reverse.
     */
-  def picksDetailed(points: DataFrame, index: CarmenIndex, keys: Seq[String],
-                    opts: ReverseOptions): DataFrame = {
-    // explode each point to its tile at every distinct layer zoom
+  final case class CandRow(query_id: Long, sub: Int, idx: Int, layer: String,
+                           types: Seq[String], conflict: String,
+                           feature_id: Long, tmpid: Long, text: String,
+                           dist_miles: Double, score: Double,
+                           geom_type: String, center_lon: Double,
+                           center_lat: Double,
+                           langTexts: Map[String, String],
+                           matched: Boolean, rnk: Int)
+
+  /** idx*2^25 + id%2^24 — the reference cover tmpid keyspace. */
+  def tmpidCol(idxCol: Column, fidCol: Column): Column =
+    idxCol.cast("long") * (1L << 25) + pmod(abs(fidCol), lit(1L << 24))
+
+  /** The per-(point, layer) candidate list: one partition-prunable (z,x,y)
+    * equi-join across all layers, ranked by (distance, id) and capped at
+    * the vtquery limit. distanceMode pre-filters ghost features exactly as
+    * the reference's basic-filters do (context.js:588).
+    *
+    * @param points    (query_id, sub, lon, lat)
+    * @param matchedDf optional (query_id, tmpid) forward phrasematch sets
+    * @param allowedIdxs layer visibility (worldview / maxidx pruning)
+    */
+  def candidates(points: DataFrame, index: CarmenIndex,
+                 distanceMode: Boolean, radiusMiles: Double,
+                 matchedDf: Option[DataFrame] = None,
+                 allowedIdxs: Option[Set[Int]] = None): Dataset[CandRow] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val pts = points.select(col("query_id").cast("long"),
+      col("sub").cast("int"), col("lon"), col("lat"))
     val tiles = index.zooms.map { z =>
-      points.withColumn("z", lit(z))
+      pts.withColumn("z", lit(z))
         .withColumn("tx", GeoOps.tileX(col("lon"), z))
         .withColumn("ty", GeoOps.tileY(col("lat"), z))
     }.reduce(_ unionByName _)
@@ -69,129 +112,241 @@ object Reverse {
     // layer's zoom; an explicit positive radius overrides it
     val zoomRadius = index.zooms.map(z => z -> vtqueryRadiusMiles(z)).toMap
     val radiusCol =
-      if (opts.radiusMiles > 0) lit(opts.radiusMiles)
+      if (radiusMiles > 0) lit(radiusMiles)
       else index.zooms.foldLeft(lit(0.0)) { (acc, z) =>
         when(col("z") === z, lit(zoomRadius(z))).otherwise(acc)
       }
 
-    val tf = index.allTileFeatures
-    val cand0 = tiles.join(tf, tiles("z") === tf("z") && tiles("tx") === tf("x") &&
+    val tf0 = index.allTileFeatures
+    val tf = allowedIdxs match {
+      case Some(s) if s.size != index.layers.size =>
+        tf0.where(col("idx").isin(s.toSeq: _*))
+      case _ => tf0
+    }
+    val joined = tiles.join(tf, tiles("z") === tf("z") && tiles("tx") === tf("x") &&
         tiles("ty") === tf("y"))
       .drop(tf("z"))
-      .where(col("score") >= 0) // ghost filter (context.js:518-526)
       .withColumn("direct_hit", pipUdf(col("geom_bin"), col("lon"), col("lat")))
       .withColumn("dist_miles",
         when(col("direct_hit"), lit(0.0)).otherwise(
           geomDistUdf(col("geom_bin"), col("lon"), col("lat"))))
       .where(col("direct_hit") || col("dist_miles") <= radiusCol)
-    val cand = opts.scoreFilter match {
-      case Some((lo, hi)) => cand0.where(col("score") > lo && col("score") <= hi)
-      case None => cand0
+    // ghost pre-filter only in distance mode (basic-filters, context.js:588)
+    val ghosted = if (distanceMode) joined.where(col("score") >= 0) else joined
+    val cap = if (distanceMode) DistanceModeLimit else ContextModeLimit
+    val ranked = ghosted
+      .withColumn("rnk", row_number().over(Window
+        .partitionBy(col("query_id"), col("sub"), col("idx"))
+        .orderBy(col("dist_miles").asc, col("feature_id").asc)))
+      .where(col("rnk") <= cap)
+      .withColumn("tmpid", tmpidCol(col("idx"), col("feature_id")))
+    val flagged = matchedDf match {
+      case Some(m) =>
+        val mm = m.select(col("query_id").cast("long").as("m_qid"),
+          col("tmpid").as("m_tmpid")).distinct()
+        ranked.join(mm, ranked("query_id") === mm("m_qid") &&
+            ranked("tmpid") === mm("m_tmpid"), "left")
+          .withColumn("matched", col("m_tmpid").isNotNull)
+          .drop("m_qid", "m_tmpid")
+      case None => ranked.withColumn("matched", lit(false))
     }
-    val ordering =
-      if (opts.reverseMode == "score")
-        Seq(distscoreCol(col("dist_miles"), col("score")).desc,
-          col("dist_miles").asc, col("feature_id").asc)
-      else Seq(col("dist_miles").asc, col("feature_id").asc)
-    cand
-      .withColumn("pick",
-        row_number().over(Window
-          .partitionBy((keys :+ "idx").map(col): _*)
-          .orderBy(ordering: _*)))
-      .where(col("pick") === 1)
-      .select(keys.map(col) ++ Seq(col("idx"), col("layer"), col("feature_id"),
-        col("text"), col("dist_miles"), col("score"), col("geom_type"),
-        col("f_lon").as("center_lon"), col("f_lat").as("center_lat"),
-        col("langTexts").as("lang_texts")): _*)
+    flagged.select(col("query_id"), col("sub"), col("idx"), col("layer"),
+      col("types"), coalesce(col("conflict"), lit("")).as("conflict"),
+      col("feature_id"), col("tmpid"), col("text"), col("dist_miles"),
+      col("score"), col("geom_type"),
+      col("f_lon").as("center_lon"), col("f_lat").as("center_lat"),
+      coalesce(col("langTexts"), map().cast("map<string,string>")).as("langTexts"),
+      col("matched"), col("rnk"))
+      .as[CandRow]
   }
 
-  final case class ReverseOptions(
-      limit: Int = 1,
-      reverseMode: String = "distance", // "distance" | "score" (R5)
-      types: Seq[String] = Nil,         // result-type filter (F2-lite)
-      scoreFilter: Option[(Double, Double)] = None, // scoreranges window
-      radiusMiles: Double = 0.0)
+  /** processVtQueryResults (reference context.js:448-556): pick one feature
+    * per layer from its (distance, id)-ordered candidate list.
+    * Priority: non-ghost forward phrasematch > ghost forward phrasematch >
+    * plain nearest; the exclusive target short-circuits everything.
+    * scoreModeEnabled mirrors source.geocoder_reverse_mode.
+    */
+  def pickPerIdx(rows0: Vector[CandRow], scoreMode: Boolean,
+                 scoreModeEnabled: Boolean,
+                 scoreFilter: Option[(Double, Double)],
+                 exclusive: Option[Long]): Option[CandRow] = {
+    val rows = rows0.sortBy(r => (r.rnk, r.feature_id))
+    if (scoreMode && scoreModeEnabled && exclusive.isEmpty) {
+      // distscore ordering, first hit wins (context.js:456-470, 488-497);
+      // sortBy is stable so ties keep the (distance, id) base order
+      rows.sortBy(r => -distscoreScalar(r.dist_miles, r.score)).headOption
+    } else {
+      var feat: CandRow = null
+      var ghost: CandRow = null
+      var forward: CandRow = null
+      var dist = Double.PositiveInfinity
+      val it = rows.iterator
+      while (it.hasNext && forward == null) {
+        val r = it.next()
+        if (r.dist_miles > dist) ()                                 // farther than picked
+        else if (feat != null && r.feature_id > feat.feature_id) () // same dist, larger id
+        else exclusive match {
+          case Some(target) =>
+            if (r.tmpid == target) { feat = r; forward = r }
+          case None =>
+            if (r.score < 0 && !r.matched) ()                 // unmatched ghost
+            else if (r.score < 0 && ghost == null) ghost = r  // matched ghost: store
+            else if (scoreFilter.exists { case (lo, hi) =>
+              r.score <= lo || r.score > hi }) ()
+            else {
+              feat = r
+              dist = r.dist_miles
+              if (r.matched) forward = r
+            }
+        }
+      }
+      Option(if (forward != null) forward else if (ghost != null) ghost else feat)
+    }
+  }
 
-  /** One per-layer pick feeding stackFeatures. */
-  final case class PickRow(query_id: Long, idx: Int, layer: String, typ: String,
-                           feature_id: Long, text: String, dist_miles: Double,
-                           score: Double, geom_type: String,
-                           center_lon: Double, center_lat: Double)
+  /** getSubtypeLookup (context.js:146-156): base type -> subtype or ""
+    * (= plain membership). ['poi.landmark'] -> poi->"landmark";
+    * a later plain 'poi' overwrites to "".
+    */
+  def subtypeLookup(types: Seq[String]): Map[String, String] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    types.foreach { t =>
+      val p = t.split("\\.", 2)
+      if (p.length == 2 && !m.contains(p(0))) m(p(0)) = p(1)
+      else m(p(0)) = ""
+    }
+    m.toMap
+  }
+
+  /** stackFeatures options (context.js:168-254). */
+  final case class StackOpts(types: Seq[String] = Nil, maxtype: String = "",
+                             scoreMode: Boolean = false,
+                             full: Boolean = false)
+
+  /** One stacked context element: the picked candidate, the carmen type it
+    * claimed (the multi-type shift outcome, = its extid type) and its
+    * position in the context array (0 = finest).
+    */
+  final case class Stacked(cand: CandRow, claimedType: String, order: Int)
+
+  /** stackFeatures (reference context.js:168-254): walk picks fine->coarse;
+    * each feature claims the LAST unclaimed entry of its carmen:types (plus
+    * its conflict key); maxtype and (in full mode, until the first claim)
+    * the types filter force shifts to earlier types; a later non-Polygon
+    * feature replaces a claimed one only if closer (score-gated in score
+    * mode), removing every memo reference to the replaced feature.
+    */
+  def stackMemo(picks: Vector[CandRow], opts: StackOpts): Vector[Stacked] = {
+    val lookup = subtypeLookup(opts.types)
+    val memo = scala.collection.mutable.LinkedHashMap.empty[String, CandRow]
+    val claimed = scala.collection.mutable.HashMap.empty[Long, String]
+    var firstType: Option[String] = None
+    for (f <- picks.sortBy(r => -r.idx)) {
+      val types = if (f.types.nonEmpty) f.types.toVector else Vector(f.layer)
+      var l = types.length - 1
+      var break = false
+      while (l >= 0 && !break) {
+        val typ = types(l)
+        val conflict = if (f.conflict.nonEmpty) f.conflict else typ
+        val maxtypeSkip = opts.maxtype.nonEmpty && opts.maxtype == typ
+        val typeFilterSkip = !maxtypeSkip && opts.full && firstType.isEmpty &&
+          opts.types.nonEmpty && !lookup.contains(typ)
+        if (!maxtypeSkip && !typeFilterSkip) {
+          memo.get(typ) match {
+            case None =>
+              memo(typ) = f
+              memo(conflict) = f
+              claimed(f.tmpid) = typ
+              if (firstType.isEmpty) firstType = Some(typ)
+              break = true
+            case Some(cur) if f.geom_type != "Polygon" =>
+              // carmen:score falsy semantics: 0 is "unscored"
+              val scoreBlocks = opts.scoreMode && (
+                (f.score == 0 && cur.score != 0) ||
+                (f.score != 0 && cur.score != 0 && cur.score >= f.score))
+              val distBlocks = f.dist_miles >= cur.dist_miles
+              val typeBlocks = opts.full && opts.types.nonEmpty &&
+                !lookup.contains(typ)
+              if (!scoreBlocks && !distBlocks && !typeBlocks) {
+                // remove all references to the previously stacked feature
+                val dead = memo.collect {
+                  case (k, v) if v.tmpid == cur.tmpid => k
+                }.toVector
+                dead.foreach(memo.remove)
+                claimed.remove(cur.tmpid)
+                memo(typ) = f
+                memo(conflict) = f
+                claimed(f.tmpid) = typ
+                break = true
+              }
+            case _ => () // a Polygon claimant is never replaced
+          }
+        }
+        l -= 1
+      }
+    }
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    memo.values.toVector
+      .filter(v => seen.add(v.tmpid))
+      .zipWithIndex
+      .map { case (v, i) => Stacked(v, claimed(v.tmpid), i) }
+  }
 
   final case class StackedRow(query_id: Long, place_name: String,
                               feature_id: Long, layer: String,
                               center_lon: Double, center_lat: Double,
-                              rank: Int = 1)
+                              rank: Int = 1, typ: String = "")
 
-  /** stackFeatures (reference context.js:168-254), single-type-per-layer
-    * model: walk picks fine->coarse, claim one feature per type; a later
-    * (coarser) non-Polygon feature replaces a claimed one only if closer
-    * (or higher-scored in score mode), and requested-type filtering applies
-    * until the first claim.
-    */
-  def stackFeatures(rows: Vector[PickRow], opts: ReverseOptions): Option[StackedRow] =
-    stackContexts(rows, opts).headOption
-
-  /** stackFeatures + R10 context splitting (reference geocode.js:299-310):
+  /** stackMemo + R10 context splitting (reference geocode.js:299-310):
     * the context hierarchy becomes suffix contexts
     * [[poi,place,country],[place,country],[country]], each relevance 1,
     * ranked; `opts.limit` bounds how many are returned.
     */
-  def stackContexts(rows: Vector[PickRow], opts: ReverseOptions): Vector[StackedRow] = {
-    stackMemo(rows, opts) match {
-      case None => Vector.empty
-      case Some(context) =>
-        (0 until math.min(math.max(opts.limit, 1), context.length)).map { i =>
-          val suffix = context.drop(i)
-          val lead = suffix.head
-          StackedRow(lead.query_id,
-            suffix.map(f => f.text.split(",")(0)).mkString(", "),
-            lead.feature_id, lead.layer, lead.center_lon, lead.center_lat,
-            rank = i + 1)
-        }.toVector
+  def stackContexts(picks: Vector[CandRow], opts: ReverseOptions,
+                    stackOpts: StackOpts): Vector[StackedRow] = {
+    val context = stackMemo(picks, stackOpts)
+    if (context.isEmpty) Vector.empty
+    else (0 until math.min(math.max(opts.limit, 1), context.length)).map { i =>
+      val suffix = context.drop(i)
+      val lead = suffix.head
+      StackedRow(lead.cand.query_id,
+        suffix.map(s => s.cand.text.split(",")(0)).mkString(", "),
+        lead.cand.feature_id, lead.cand.layer, lead.cand.center_lon,
+        lead.cand.center_lat, rank = i + 1, typ = lead.claimedType)
+    }.toVector
+  }
+
+  /** Per-idx pick config for the reverse kernel: geocoder_reverse_mode flag
+    * and the subtype score range ([lo,hi] x maxscore, context.js:104-113).
+    */
+  def pickConfig(index: CarmenIndex, types: Seq[String],
+                 full: Boolean): Map[Int, (Boolean, Option[(Double, Double)])] = {
+    val lookup = subtypeLookup(types)
+    index.layers.map { l =>
+      val sub = lookup.get(l.config.typ).filter(_.nonEmpty)
+      val sf =
+        if (!full) None
+        else sub.flatMap(s => l.config.scoreranges.get(s)).map(r =>
+          (r.head * l.scorefactor, r(1) * l.scorefactor))
+      l.config.idx -> ((l.config.geocoderReverseMode, sf))
+    }.toMap
+  }
+
+  /** maxidx (reference geocode.js:231-241): with a types filter, context
+    * i/o is limited to requested types' layers and their parents.
+    */
+  def maxidxFor(index: CarmenIndex, types: Seq[String]): Int = {
+    if (types.isEmpty) Int.MaxValue
+    else {
+      val parents = types.map(_.split("\\.")(0)).toSet
+      index.layers.filter(_.config.allTypes.exists(parents.contains))
+        .map(_.config.idx + 1).foldLeft(0)(math.max)
     }
   }
 
-  private def stackMemo(rows: Vector[PickRow], opts: ReverseOptions): Option[Vector[PickRow]] = {
-    val wanted = opts.types.toSet
-    val scoreMode = opts.reverseMode == "score"
-    val memo = scala.collection.mutable.LinkedHashMap.empty[String, PickRow]
-    var firstType: Option[String] = None
-    for (f <- rows.sortBy(-_.idx)) {
-      val typ = f.typ
-      val typeOk = wanted.isEmpty || wanted.contains(typ)
-      memo.get(typ) match {
-        case None =>
-          if (firstType.isDefined || typeOk) {
-            memo(typ) = f
-            if (firstType.isEmpty) firstType = Some(typ)
-          }
-        case Some(cur) if f.geom_type != "Polygon" =>
-          val scoreBlocks = scoreMode && cur.score >= f.score
-          val distBlocks = f.dist_miles >= cur.dist_miles
-          val typeBlocks = wanted.nonEmpty && !typeOk
-          if (!scoreBlocks && !distBlocks && !typeBlocks) memo(typ) = f
-        case _ =>
-      }
-    }
-    if (memo.isEmpty) None
-    else Some(memo.values.toVector.distinct.sortBy(-_.idx))
-  }
-
-  private def pickRows(spark: SparkSession, index: CarmenIndex,
-                       pts: DataFrame, opts: ReverseOptions): org.apache.spark.sql.Dataset[PickRow] = {
-    import spark.implicits._
-    val typByIdx = index.layers.map(l => l.config.idx -> l.config.typ).toMap
-    val typCol = index.layers.foldLeft(lit("")) { (acc, l) =>
-      when(col("idx") === l.config.idx, lit(l.config.typ)).otherwise(acc)
-    }
-    var all = picksDetailed(pts, index, Seq("query_id"), opts)
-      .withColumn("typ", typCol)
-    val _ = typByIdx
-    all.select(col("query_id").cast("long"), col("idx"), col("layer"),
-      col("typ"), col("feature_id"), col("text"), col("dist_miles"),
-      col("score"), col("geom_type"), col("center_lon"), col("center_lat"))
-      .as[PickRow]
+  def worldviewIdxs(index: CarmenIndex, worldview: String): Set[Int] = {
+    val wv = if (worldview.nonEmpty) worldview else index.worldviews.head
+    index.idxsForWorldview(wv)
   }
 
   def reverse(spark: SparkSession, index: CarmenIndex, points: DataFrame,
@@ -201,7 +356,7 @@ object Reverse {
 
   /** Post-stack address snap row (R7/R6 input). */
   final case class SnapRaw(query_id: Long, rank: Int, place_name: String,
-                           feature_id: Long, layer: String,
+                           feature_id: Long, layer: String, typ: String,
                            center_lon: Double, center_lat: Double,
                            q_lon: Double, q_lat: Double,
                            fGeomBin: Array[Byte], fAddrnum: Seq[Seq[String]],
@@ -214,22 +369,46 @@ object Reverse {
                          points: DataFrame, opts: ReverseOptions): DataFrame = {
     import spark.implicits._
     val pts = points.select(col("query_id").cast("long"), col("lon"), col("lat"))
+    val cpts = pts.withColumn("sub", lit(0))
+    val maxidx = maxidxFor(index, opts.types)
+    val allowed = worldviewIdxs(index, opts.worldview).filter(_ < maxidx)
+    val distanceMode = opts.reverseMode != "score"
+    val cands = candidates(cpts, index, distanceMode, opts.radiusMiles,
+      None, Some(allowed))
+    val cfgByIdx = pickConfig(index, opts.types, full = true)
+    val scoreMode = opts.reverseMode == "score"
     val optsB = opts
-    val stacked = pickRows(spark, index, pts, opts)
-      .groupByKey(_.query_id)
-      .flatMapGroups((_, it) => stackContexts(it.toVector, optsB).iterator)
-      .toDF()
+    val stackO = StackOpts(types = opts.types, scoreMode = scoreMode,
+      full = true)
+    val stacked = cands.groupByKey(_.query_id).flatMapGroups { (_, it) =>
+      val rows = it.toVector
+      val picks = rows.groupBy(_.idx).toVector.sortBy(_._1)
+        .flatMap { case (idx, rs) =>
+          val (revModeOk, autoSf) = cfgByIdx.getOrElse(idx, (true, None))
+          pickPerIdx(rs, scoreMode, revModeOk,
+            optsB.scoreFilter.orElse(autoSf), None)
+        }
+      stackContexts(picks, optsB, stackO).iterator
+    }.toDF()
 
+    snapAddresses(spark, index, stacked, pts)
+  }
+
+  /** R7 addresscluster.reverse + R6 ITP arbitration on address-layer leads
+    * (reference addresscluster.js:228-273, context.js:694-716): leads on
+    * address layers snap to the nearest cluster point and/or interpolated
+    * range point; the ITP point wins when it is closer to the query AND
+    * more than 200 m from the cluster point.
+    */
+  private def snapAddresses(spark: SparkSession, index: CarmenIndex,
+                            stacked: DataFrame, pts: DataFrame): DataFrame = {
+    import spark.implicits._
     val addressLayers = index.layers.filter(_.config.geocoderAddress)
     val base = stacked.select(col("query_id"), col("rank"), col("place_name"),
-      col("feature_id"), col("layer"), col("center_lon"), col("center_lat"))
+      col("feature_id"), col("layer"), col("typ"),
+      col("center_lon"), col("center_lat"))
     if (addressLayers.isEmpty) base
     else {
-      // R7 addresscluster.reverse + R6 ITP arbitration (reference
-      // addresscluster.js:228-273, context.js:694-716): leads on address
-      // layers snap to the nearest cluster point and/or interpolated range
-      // point; the ITP point wins when it is closer to the query AND more
-      // than 200 m from the cluster point.
       val emptyNested = lit(array()).cast("array<array<string>>")
       val feats = addressLayers.map { l =>
         l.features.select(lit(l.config.name).as("layer"),
@@ -245,7 +424,8 @@ object Reverse {
           Seq("query_id"))
         .join(feats, Seq("layer", "feature_id"), "left")
         .select(col("query_id"), col("rank"), col("place_name"),
-          col("feature_id"), col("layer"), col("center_lon"), col("center_lat"),
+          col("feature_id"), col("layer"), col("typ"),
+          col("center_lon"), col("center_lat"),
           col("q_lon"), col("q_lat"),
           coalesce(col("fGeomBin"), lit(Array.emptyByteArray)).as("fGeomBin"),
           coalesce(col("fAddrnum"), emptyNested).as("fAddrnum"),
@@ -311,30 +491,42 @@ object Reverse {
         chosen match {
           case Some((Some(num), lon, lat)) =>
             StackedRow(r.query_id, s"$num ${r.place_name}", r.feature_id,
-              r.layer, lon, lat, r.rank)
+              r.layer, lon, lat, r.rank, r.typ)
           case Some((None, lon, lat)) =>
             StackedRow(r.query_id, r.place_name, r.feature_id, r.layer,
-              lon, lat, r.rank)
+              lon, lat, r.rank, r.typ)
           case None => StackedRow(r.query_id, r.place_name, r.feature_id,
-            r.layer, r.center_lon, r.center_lat, r.rank)
+            r.layer, r.center_lon, r.center_lat, r.rank, r.typ)
         }
       }.toDF()
         .select(col("query_id"), col("rank"), col("place_name"),
-          col("feature_id"), col("layer"), col("center_lon"), col("center_lat"))
+          col("feature_id"), col("layer"), col("typ"),
+          col("center_lon"), col("center_lat"))
     }
   }
 
-  /** nearest / limit>1 reverse (reference context.js:268-304 + R9): k
-    * nearest features of a type per point from a 3x3 tile neighborhood,
-    * each then given its own context at the feature's location.
+  /** nearest (reference context.js:268-304 + R9): k nearest features of a
+    * type per point from a 3x3 tile neighborhood, each then given its own
+    * context by [[reverseLimit]]. Subtype filters ("poi.landmark") apply
+    * their score range (context.js:282-288).
     */
   def nearestK(spark: SparkSession, index: CarmenIndex, points: DataFrame,
                typ: String, limit: Int,
                opts: ReverseOptions = ReverseOptions()): DataFrame = {
-    import spark.implicits._
     val pts = points.select(col("query_id").cast("long"), col("lon"), col("lat"))
-    val layersOfType = index.layers.filter(_.config.typ == typ)
-    require(layersOfType.nonEmpty, s"no layer of type $typ")
+    val typeSplit = typ.split("\\.", 2)
+    val baseType = typeSplit(0)
+    val wvIdxs = worldviewIdxs(index, opts.worldview)
+    val layersOfType = index.layers.filter(l =>
+      l.config.typ == baseType && wvIdxs.contains(l.config.idx))
+    require(layersOfType.nonEmpty, s"no layer of type $baseType")
+    // subtype score filter (context.js:282-288)
+    val scoreFilter = opts.scoreFilter.orElse {
+      if (typeSplit.length != 2) None
+      else layersOfType.flatMap(l =>
+        l.config.scoreranges.get(typeSplit(1)).map(r =>
+          (r.head * l.scorefactor, r(1) * l.scorefactor))).headOption
+    }
 
     // 3x3 tile neighborhood at each matching layer's zoom — one equi-join
     val tiles = layersOfType.map(_.config.zoom).distinct.map { z =>
@@ -357,7 +549,7 @@ object Reverse {
       .withColumn("dist_miles", when(
         pipUdf(col("geom_bin"), col("lon"), col("lat")), lit(0.0)).otherwise(
         geomDistUdf(col("geom_bin"), col("lon"), col("lat"))))
-    val filtered = opts.scoreFilter match {
+    val filtered = scoreFilter match {
       case Some((lo, hi)) => cand.where(col("score") > lo && col("score") <= hi)
       case None => cand
     }
@@ -374,9 +566,82 @@ object Reverse {
     ordered.where(col("rank") <= limit)
       // dedupe features that appear in several neighborhood tiles
       .dropDuplicates("query_id", "feature_id")
-      .select(col("query_id"), col("rank"), col("feature_id"),
+      .select(col("query_id"), col("rank"), col("idx"), col("feature_id"),
+        tmpidCol(col("idx"), col("feature_id")).as("tmpid"),
         col("layer"), col("text"), col("dist_miles"),
         col("f_lon").as("center_lon"), col("f_lat").as("center_lat"))
+  }
+
+  final case class TargetMeta(query_id: Long, sub: Int,
+                              target_idx: Int, target_tmpid: Long)
+
+  /** limit>1 reverse (reference geocode.js:247-287): the k nearest features
+    * of the single requested type each get their own full context at the
+    * feature's location, the target layer loading ONLY the target feature
+    * (exclusive short-circuit, context.js:116-127 + 502-513); contexts
+    * dedupe by target tmpid (address layers may repeat, geocode.js:268-280).
+    */
+  def reverseLimit(spark: SparkSession, index: CarmenIndex, points: DataFrame,
+                   typ: String, limit: Int,
+                   opts: ReverseOptions = ReverseOptions()): DataFrame = {
+    import spark.implicits._
+    val capped = math.min(limit, 5) // geocode.js:216
+    val near = nearestK(spark, index, points, typ, capped, opts)
+      .localCheckpoint()
+    val baseType = typ.split("\\.", 2)(0)
+    val wvIdxs = worldviewIdxs(index, opts.worldview)
+    val ctxPts = near.select(col("query_id"), col("rank").as("sub"),
+      col("center_lon").as("lon"), col("center_lat").as("lat"))
+    val cands = candidates(ctxPts, index, distanceMode = false,
+      radiusMiles = opts.radiusMiles, None, Some(wvIdxs))
+    val metaDs = near.select(col("query_id"), col("rank").as("sub"),
+      col("idx").as("target_idx"), col("tmpid").as("target_tmpid"))
+      .as[TargetMeta]
+    val typByIdx: Map[Int, String] = index.layers.map(l =>
+      l.config.idx -> l.config.typ).toMap
+    val optsB = opts
+    val stackO = StackOpts(types = opts.types, scoreMode = false, full = true)
+    val paired = cands.joinWith(metaDs,
+      cands("query_id") === metaDs("query_id") && cands("sub") === metaDs("sub"))
+    val perTarget = paired
+      .groupByKey(p => (p._1.query_id, p._1.sub))
+      .flatMapGroups { (_: (Long, Int), it) =>
+        val v = it.toVector
+        val meta = v.head._2
+        val rows = v.map(_._1)
+        val picks = rows.groupBy(_.idx).toVector.sortBy(_._1)
+          .flatMap { case (idx, rs) =>
+            // target-type layers: only the target's own layer is queried,
+            // exclusively for the target feature (context.js:116-127)
+            if (typByIdx.getOrElse(idx, "") == baseType) {
+              if (idx != meta.target_idx) None
+              else pickPerIdx(rs, scoreMode = false, scoreModeEnabled = false,
+                None, Some(meta.target_tmpid))
+            } else pickPerIdx(rs, scoreMode = false, scoreModeEnabled = false,
+              None, None)
+          }
+        // one context per target (no suffix splitting for limit reverse)
+        stackContexts(picks, optsB.copy(limit = 1), stackO)
+          .headOption
+          .map(s => s.copy(rank = v.head._1.sub)).iterator
+      }.toDF()
+    // dedupe by lead feature across ranks; address layers may produce
+    // multiple contexts for one cluster feature (geocode.js:268-280)
+    val addressLayerNames = index.layers.filter(_.config.geocoderAddress)
+      .map(_.config.name)
+    val deduped = perTarget
+      .withColumn("dd", row_number().over(Window
+        .partitionBy(col("query_id"), col("feature_id"), col("layer"))
+        .orderBy(col("rank"))))
+      .where(col("dd") === 1 ||
+        (if (addressLayerNames.isEmpty) lit(false)
+         else col("layer").isin(addressLayerNames: _*)))
+      .drop("dd")
+    val snapped = snapAddresses(spark, index, deduped,
+      points.select(col("query_id").cast("long"), col("lon"), col("lat")))
+    snapped
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("query_id")).orderBy(col("rank"))))
   }
 
   /** id geocode (reference geocode.js:150-204, R2): "{layerName}.{id}". */

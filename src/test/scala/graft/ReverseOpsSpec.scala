@@ -115,24 +115,110 @@ class ReverseOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.head._2 === 0.002 && res.head._3 === 0.002, s"got ${res.toSeq}")
   }
 
-  test("stackFeatures replacement: closer non-polygon replaces same type; polygon blocks") {
-    import Reverse.{PickRow, ReverseOptions}
+  private def cand(idx: Int, layer: String, typs: Seq[String], fid: Long,
+                   text: String, dist: Double, geomType: String,
+                   conflict: String = "", score: Double = 0.0,
+                   matched: Boolean = false): Reverse.CandRow =
+    Reverse.CandRow(1L, 0, idx, layer, typs, conflict, fid,
+      idx.toLong * (1L << 25) + fid % (1L << 24), text, dist, score,
+      geomType, 0, 0, Map.empty, matched, 1)
+
+  private def stackNames(picks: Vector[Reverse.CandRow],
+                         opts: Reverse.StackOpts = Reverse.StackOpts()): String =
+    Reverse.stackMemo(picks, opts)
+      .map(_.cand.text.split(",")(0)).mkString(", ")
+
+  test("stackMemo replacement: closer non-polygon replaces same type; polygon blocks") {
     val rows = Vector(
-      PickRow(1, 2, "placeA", "place", 10, "near town", 0.5, 0, "Point", 0, 0),
-      PickRow(1, 1, "placeB", "place", 11, "far town", 2.0, 0, "Point", 0, 0),
-      PickRow(1, 0, "region", "region", 12, "state", 0.0, 0, "Polygon", 0, 0))
-    val out = Reverse.stackFeatures(rows, ReverseOptions()).get
+      cand(2, "placeA", Seq("place"), 10, "near town", 0.5, "Point"),
+      cand(1, "placeB", Seq("place"), 11, "far town", 2.0, "Point"),
+      cand(0, "region", Seq("region"), 12, "state", 0.0, "Polygon"))
     // placeB (coarser) is farther -> cannot replace placeA
-    assert(out.place_name === "near town, state")
-    val rows2 = rows.updated(1, rows(1).copy(dist_miles = 0.1))
-    val out2 = Reverse.stackFeatures(rows2, ReverseOptions()).get
+    assert(stackNames(rows) === "near town, state")
     // now the coarser same-type feature is closer -> replaces
-    assert(out2.place_name === "far town, state")
+    val rows2 = rows.updated(1, rows(1).copy(dist_miles = 0.1))
+    assert(stackNames(rows2) === "far town, state")
     // a Polygon claimant is never replaced
     val rows3 = Vector(
-      PickRow(1, 1, "placeA", "place", 10, "poly town", 1.0, 0, "Polygon", 0, 0),
-      PickRow(1, 0, "placeB", "place", 11, "pt town", 0.0, 0, "Polygon", 0, 0))
-    val out3 = Reverse.stackFeatures(rows3, ReverseOptions()).get
-    assert(out3.place_name === "poly town")
+      cand(1, "placeA", Seq("place"), 10, "poly town", 1.0, "Polygon"),
+      cand(0, "placeB", Seq("place"), 11, "pt town", 0.0, "Polygon"))
+    assert(stackNames(rows3) === "poly town")
+  }
+
+  test("stackMemo multitype shift + conflict keys (R8)") {
+    // caracas is a region source feature with carmen:types [region, place]:
+    // claims "place" when free, shifts to "region" when place is claimed
+    // (reference geocode-unit.multitype.test.js)
+    val caracas = cand(0, "region", Seq("region", "place"), 1, "caracas",
+      0.0, "Polygon")
+    val libertador = cand(1, "place", Seq("place"), 1, "libertador",
+      0.0, "Polygon")
+    val cafe = cand(2, "poi", Seq("poi"), 1, "cafe", 0.0, "Point")
+    val full = Reverse.stackMemo(Vector(cafe, libertador, caracas),
+      Reverse.StackOpts())
+    assert(full.map(_.cand.text) === Vector("cafe", "libertador", "caracas"))
+    assert(full.map(_.claimedType) === Vector("poi", "place", "region"))
+    // alone, the multitype feature claims its LAST type
+    val solo = Reverse.stackMemo(Vector(caracas), Reverse.StackOpts())
+    assert(solo.map(_.claimedType) === Vector("place"))
+    // maxtype=place forces the shift to region
+    val shifted = Reverse.stackMemo(Vector(caracas),
+      Reverse.StackOpts(maxtype = "place"))
+    assert(shifted.map(_.claimedType) === Vector("region"))
+    // conflict key: a geocoder_name!=type layer claims its name too, so a
+    // same-name different-type feature cannot also stack
+    val landmarkSrc = cand(3, "landmark", Seq("poi"), 7, "statue", 0.0,
+      "Point", conflict = "landmark")
+    val poiSame = cand(2, "landmark", Seq("monument"), 8, "plaque", 0.5,
+      "Point", conflict = "landmark")
+    val st = Reverse.stackMemo(Vector(landmarkSrc, poiSame), Reverse.StackOpts())
+    // statue (finer idx) claims poi + landmark; plaque's claim of
+    // "monument" is free but its conflict "landmark" points at statue...
+    // reference semantics: plaque still claims monument (memo check is on
+    // the TYPE key); statue holds poi+landmark
+    assert(st.map(_.cand.text).contains("statue"))
+  }
+
+  test("pickPerIdx priority: forward match > ghost match > nearest (R4)") {
+    def c(fid: Long, dist: Double, score: Double, matched: Boolean, rnk: Int) =
+      Reverse.CandRow(1L, 0, 0, "place", Seq("place"), "", fid,
+        fid, s"f$fid", dist, score, "Point", 0, 0, Map.empty, matched, rnk)
+    // plain: nearest wins
+    assert(Reverse.pickPerIdx(Vector(c(1, 0.1, 1, false, 1),
+      c(2, 0.5, 9, false, 2)), false, false, None, None).get.feature_id === 1L)
+    // a NEARER matched ghost is stored and beats the plain pick by priority
+    // (farther candidates are skipped once a plain feat is accepted —
+    // context.js:489 `distance > dist` fires before the ghost logic)
+    assert(Reverse.pickPerIdx(Vector(c(2, 0.1, -1, true, 1),
+      c(1, 0.5, 1, false, 2)), false, false, None, None).get.feature_id === 2L)
+    assert(Reverse.pickPerIdx(Vector(c(1, 0.1, 1, false, 1),
+      c(2, 0.5, -1, true, 2)), false, false, None, None).get.feature_id === 1L)
+    // unmatched ghost is skipped entirely
+    assert(Reverse.pickPerIdx(Vector(c(2, 0.1, -1, false, 1),
+      c(1, 0.5, 1, false, 2)), false, false, None, None).get.feature_id === 1L)
+    // score filter skips the nearest, surfaces the 2nd-nearest
+    assert(Reverse.pickPerIdx(Vector(c(1, 0.1, 1, false, 1),
+      c(2, 0.5, 50, false, 2)), false, false, Some((10.0, 100.0)),
+      None).get.feature_id === 2L)
+    // exclusive target short-circuit
+    assert(Reverse.pickPerIdx(Vector(c(1, 0.1, 1, false, 1),
+      c(2, 0.5, 1, false, 2)), false, false, None,
+      Some(2L)).get.feature_id === 2L)
+    assert(Reverse.pickPerIdx(Vector(c(1, 0.1, 1, false, 1)), false, false,
+      None, Some(99L)).isEmpty)
+  }
+
+  test("reverseLimit returns k per-feature contexts with target exclusivity") {
+    val sp = spark; import sp.implicits._
+    val pts = Seq((1L, -74.0, 40.9)).toDF("query_id", "lon", "lat")
+    val res = Reverse.reverseLimit(spark, index, pts, "street", limit = 3)
+      .select(col("rank"), col("place_name"), col("layer"))
+      .as[(Int, String, String)].collect().sortBy(_._1)
+    assert(res.nonEmpty)
+    assert(res.forall(_._3 == "street"), s"got ${res.toSeq}")
+    // nearest street leads rank 1 and carries its own context chain
+    assert(res.head._2.startsWith("West Lake View Rd"), s"got ${res.toSeq}")
+    // deduped: distinct features per rank
+    assert(res.map(_._2).distinct.length === res.length, s"got ${res.toSeq}")
   }
 }
