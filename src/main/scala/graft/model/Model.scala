@@ -46,13 +46,19 @@ final case class LayerConfig(
     // distscore ordering (reference context.js:456). The engine defaults
     // this ON: score-mode reverse over layers without the flag is the
     // uncommon configuration.
-    geocoderReverseMode: Boolean = true
+    geocoderReverseMode: Boolean = true,
+    // geocoder_name when it differs from the unique source name: worldview
+    // variants of one logical layer share a geocoder_name ("country") under
+    // distinct source names ("country_wv_us"); "" = name
+    geocoderName: String = ""
 ) {
-  def ndxKey: String = name
+  /** Effective geocoder_name (reference byname grouping). */
+  def gname: String = if (geocoderName.nonEmpty) geocoderName else name
+  def ndxKey: String = gname
   /** Types this source can stack as (reference bytype registration). */
   def allTypes: Seq[String] = if (geocoderTypes.nonEmpty) geocoderTypes else Seq(typ)
   /** carmen:conflict key (reference context.js:652). */
-  def conflictKey: String = if (name != typ) name else ""
+  def conflictKey: String = if (gname != typ) gname else ""
 
   /** Signature of the query-side text-processing config: layers sharing it
     * can share one enumerated-subquery set.

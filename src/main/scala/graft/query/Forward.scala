@@ -770,7 +770,11 @@ object Forward {
         l.config.name -> target
       }.toMap
     }
-    val ndxByName = index.layers.map(_.config.name).distinct.zipWithIndex.toMap
+    // ndx groups by geocoder_name: same-gname layers never stack together
+    // (reference index.js:286-322)
+    val ndxByGname = index.layers.map(_.config.gname).distinct.zipWithIndex.toMap
+    val ndxByName = index.layers.map(l =>
+      l.config.name -> ndxByGname(l.config.gname)).toMap
     val cfgBc = spark.sparkContext.broadcast((cfgByLayer, ndxByName))
     val langTargetBc = spark.sparkContext.broadcast(langTargetByLayer)
 
@@ -1070,9 +1074,9 @@ object Forward {
     // same documented equivalence as V1/V14)
     val matchedSets = exploded.select(col("query_id"), col("tmpid")).distinct()
     val byNameFirstIdx: Map[Int, Int] = {
-      val byName = index.layers.groupBy(_.config.name)
+      val byName = index.layers.groupBy(_.config.gname)
       index.layers.map(l =>
-        l.config.idx -> byName(l.config.name).map(_.config.idx).min).toMap
+        l.config.idx -> byName(l.config.gname).map(_.config.idx).min).toMap
     }
     val leadMeta = leadRows.where(col("kind") === 2)
       .select(col("query_id"), col("position").as("sub"),
