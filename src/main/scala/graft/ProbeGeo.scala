@@ -49,7 +49,7 @@ object ProbeGeo {
       import spark.implicits._
       val qv = subs.as[query.Forward.SubQ].flatMap { s =>
         graft.core.Fuzzy.phraseVariants(s.subquery).map(v =>
-          query.Forward.FuzzVar(s.queryId, s.subquery, s.mask, s.ender, s.weight, s.qlen, s.qsig, v))
+          query.Forward.FuzzVar(s.queryId, s.subquery, s.mask, s.ender, s.weight, s.qlen, s.qsig, v, s.addrPos, s.addrNum, s.numberOrder))
       }.toDF()
       println(index.allDeletes.join(qv, Seq("variant"))
         .where(col("phrase") =!= col("subquery")).count())

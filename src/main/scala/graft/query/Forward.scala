@@ -92,10 +92,15 @@ object Forward {
     None
   }
 
-  /** Query-side fuzzy variant row. */
+  /** Query-side fuzzy variant row. The address fields ride along so the
+    * edit budget covers address/intersection permutation windows too
+    * (reference fuzzyMatchMulti, phrasematch.js:183-296).
+    */
   final case class FuzzVar(queryId: Long, subquery: String, mask: Int,
                            ender: Boolean, weight: Double, qlen: Int,
-                           qsig: String, variant: String)
+                           qsig: String, variant: String,
+                           addrPos: Int, addrNum: String,
+                           numberOrder: String)
 
   private val phraseDistUdf = udf((q: String, c: String) =>
     Fuzzy.phraseDistance(q, c).getOrElse(-1))
@@ -645,19 +650,30 @@ object Forward {
     // worldview visibility (reference byworldview, index.js:139-153)
     val wvIdxs = index.idxsForWorldview(
       if (opts.worldview.nonEmpty) opts.worldview else index.worldviews.head)
+    // phrasematch prunes on stacks + bbox + worldview ONLY (reference
+    // phrasematch.js:36-45): type-filtered queries still match context
+    // covers in disallowed layers; the types filter applies to the LEAD
+    // cover's source at verify (verifymatch.js:191-196) and to the final
+    // feature (featureAllowed)
     val allowedLayers = index.layers.filter { l =>
       val stackOk = opts.stacks.isEmpty || l.config.stack.isEmpty ||
         l.config.stack.exists(s => opts.stacks.exists(_.equalsIgnoreCase(s)))
-      // multi-type sources match on any of their geocoder_types (bytype)
+      // F4: skip layers whose source bounds miss the option bbox
+      // (phrasematch.js:41-44, AM-crossing aware)
+      val bboxOk = opts.bbox.forall(b => Bbox.amIntersect(b, boundsOf(l)))
+      stackOk && bboxOk && wvIdxs.contains(l.config.idx)
+    }
+    // sourceAllowed for lead covers (filter-sources.js:23-57): multi-type
+    // sources match on any geocoder_type or declared subtype
+    val leadAllowedIdxs: Set[Int] = index.layers.filter { l =>
       val typeOk = opts.types.isEmpty ||
         opts.types.exists(t => l.config.allTypes.contains(t)) ||
         l.config.scoreranges.keys.exists(sub =>
           opts.types.contains(s"${l.config.typ}.$sub"))
-      // F4: skip layers whose source bounds miss the option bbox
-      // (phrasematch.js:41-44, AM-crossing aware)
-      val bboxOk = opts.bbox.forall(b => Bbox.amIntersect(b, boundsOf(l)))
-      stackOk && typeOk && bboxOk && wvIdxs.contains(l.config.idx)
-    }
+      val stackOk = opts.stacks.isEmpty || l.config.stack.isEmpty ||
+        l.config.stack.exists(s => opts.stacks.exists(_.equalsIgnoreCase(s)))
+      typeOk && stackOk
+    }.map(_.config.idx).toSet
     val searchIndex =
       if (allowedLayers.length == index.layers.length) index
       else CarmenIndex(allowedLayers)
@@ -723,31 +739,38 @@ object Forward {
       if (!opts.fuzzy) withPrefix
       else {
         val qVariants = subs.as[SubQ]
-          // fuzzy on plain windows whose hypothesis has fuzz budget left
-          .filter(s => s.addrPos < 0 && !s.partial && s.editDist == 0)
+          // fuzzy on any window whose hypothesis has fuzz budget left —
+          // plain, address-permutation and intersection windows alike
+          // (reference fuzzyMatchMulti covers the numTokenized/intersection
+          // batches too, phrasematch.js:183-296); partial-number searches
+          // and whitespace-corrected hypotheses have spent the budget
+          .filter(s => !s.partial && s.editDist == 0)
           .flatMap { s =>
             Fuzzy.phraseVariants(s.subquery).map(v =>
               FuzzVar(s.queryId, s.subquery, s.mask, s.ender, s.weight, s.qlen,
-                s.qsig, v))
+                s.qsig, v, s.addrPos, s.addrNum, s.numberOrder))
           }.toDF()
         val cand = tagSig(_.deletes).join(qVariants, Seq("variant", "qsig"))
           .where(col("phrase") =!= col("subquery"))
           .select(col("layer").as("cand_layer"), col("phrase").as("cand_phrase"),
             col("queryId"), col("subquery"), col("mask"), col("ender"),
-            col("weight"), col("qlen"))
+            col("weight"), col("qlen"), col("addrPos"), col("addrNum"),
+            col("numberOrder"))
           .distinct()
           .withColumn("edit", phraseDistUdf(col("subquery"), col("cand_phrase")))
           .where(col("edit") === 1)
           .withColumn("weight", col("weight") * penaltyUdf(col("subquery"), col("edit")))
-          .withColumn("addrPos", lit(-1))
-          .withColumn("addrNum", lit(""))
           .withColumn("partial", lit(false))
-          .withColumn("numberOrder", lit(""))
           .withColumn("editDist", lit(1))
         val ap = searchIndex.allPostings
         val fuzzyMatched = ap.join(cand,
             ap("layer") === cand("cand_layer") &&
               ap("phrase") === cand("cand_phrase"))
+          // the MATCHED phrase becomes the cover text (reference
+          // phrasematch.js:242 `sq = phraseSetMatches[i].phrase`): dedupe
+          // keys and V6 disambiguation see the corrected text, so a fuzzy
+          // result is never address-unique-deduped against its exact twin
+          .withColumn("subquery", col("cand_phrase"))
           .drop("cand_layer", "cand_phrase", "edit")
           .withColumn("is_prefix", lit(false))
           .withColumn("is_fuzzy", lit(true))
@@ -790,6 +813,7 @@ object Forward {
     val proximity = opts.proximity
     val limitVerify = opts.limitVerify
     val bboxB = tileBbox
+    val leadAllowedB = leadAllowedIdxs
 
     // 3. per-query spatialmatch
     val results = pmRows.groupByKey(_.queryId).flatMapGroups { (qid, it) =>
@@ -876,7 +900,12 @@ object Forward {
             fuzzyShortCount.getOrElse(pm.mask, 0) > 6)
         }
       }.toVector
-      val sms = StackCoalesce.spatialmatch(qlen, pmsFiltered, proximity, bboxB)
+      val sms0 = StackCoalesce.spatialmatch(qlen, pmsFiltered, proximity, bboxB)
+      // lead-cover sourceAllowed filter (verifymatch.js:191-196)
+      val sms =
+        if (leadAllowedB.size == cfgs.size) sms0
+        else sms0.filter(sm => sm.covers.headOption.exists(c =>
+          leadAllowedB.contains(c.idx)))
       sms.take(limitVerify).zipWithIndex.map { case (sm, i) =>
         ResultRow(qid, i + 1, JsNum.roundTo(sm.relev, 4), sm.scoredist,
           sm.covers.map(c => CoverRow(c.idx, nameByIdx.getOrElse(c.idx, "?"), c.id24,
