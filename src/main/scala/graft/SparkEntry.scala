@@ -51,6 +51,31 @@ object SparkEntry {
     }
   }
 
+  /** The benchmark gazetteer: ~110k entities (places, streets, address
+    * clusters + interpolation ranges). The geocode bench entries run
+    * 1k-2k queries against THIS index so the join path, not fixed planning
+    * overhead, dominates the numbers. Built once per session; the build
+    * lands in the bench warmup pass.
+    */
+  private object BigGeoIndexCache {
+    val NPlaces = 22000
+    @volatile private var cached: Option[(SparkSession, graft.index.IndexBuilder.CarmenIndex)] = None
+    def get(spark: SparkSession): graft.index.IndexBuilder.CarmenIndex = synchronized {
+      cached match {
+        case Some((s, idx)) if s eq spark => idx
+        case _ =>
+          val idx = graft.index.BigGazetteer.buildIndex(spark, NPlaces)
+          idx.layers.foreach { l =>
+            l.postings.count(); l.tileFeatures.count(); l.features.count()
+            l.deletes.count(); l.prefixes.count()
+          }
+          idx.allTileFeatures.count()
+          cached = Some((spark, idx))
+          idx
+      }
+    }
+  }
+
   private def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(c * 100).cast("long")
 
@@ -232,41 +257,39 @@ object SparkEntry {
     // --- carmen-semantic geocode engine (rows-only checks: the DuckDB
     // oracle cannot express the geocode pipeline; correctness is covered by
     // the reference-golden ScalaTest suite) ------------------------------
+    // 2000 mixed queries (street+place / bare place / house number /
+    // place+region) against the ~110k-entity gazetteer: the joins, not
+    // per-query planning overhead, dominate (round-3 verdict item)
     "geocode_forward" -> ((s, _) => {
-      import s.implicits._
-      val index = GeoIndexCache.get(s)
-      val qs = Seq((1L, "West Lake View Rd Englewood"), (2L, "Chester New Jersey"),
-        (3L, "Englewood"), (4L, "Main St Chester"), (5L, "Springfield Pennsylvania"),
-        (6L, "Fulton St Lakewood Texas"), (7L, "Lake View Terrace West Town"))
-        .toDF("query_id", "query")
+      val index = BigGeoIndexCache.get(s)
+      val qs = graft.index.BigGazetteer.forwardQueries(s, 2000,
+        BigGeoIndexCache.NPlaces)
       graft.query.Forward.forward(s, index, qs)
         .select(col("query_id"), col("rank"), col("relev"), col("place_name"))
     }),
 
     "geocode_reverse" -> ((s, _) => {
-      import s.implicits._
-      val index = GeoIndexCache.get(s)
-      val pts = Seq((1L, -74.0, 40.9), (2L, -98.55, 29.95), (3L, -74.7, 40.785),
-        (4L, -75.3, 39.935)).toDF("query_id", "lon", "lat")
+      val index = BigGeoIndexCache.get(s)
+      val pts = graft.index.BigGazetteer.reversePoints(s, 2000,
+        BigGeoIndexCache.NPlaces)
       graft.query.Reverse.reverse(s, index, pts)
     }),
 
     "geocode_reverse_knn" -> ((s, _) => {
-      import s.implicits._
-      val index = GeoIndexCache.get(s)
-      val pts = Seq((1L, -74.0, 40.9), (2L, -98.55, 29.95))
-        .toDF("query_id", "lon", "lat")
+      val index = BigGeoIndexCache.get(s)
+      val pts = graft.index.BigGazetteer.reversePoints(s, 500,
+        BigGeoIndexCache.NPlaces)
       graft.query.Reverse.nearestK(s, index, pts, "street", limit = 3)
     }),
 
     "geocode_tile_index" -> ((s, _) => {
-      val index = GeoIndexCache.get(s)
+      val index = BigGeoIndexCache.get(s)
       index.layers.map(_.tileFeatures.select(col("z"), col("x"), col("y"),
         col("id"))).reduce(_ unionByName _)
     }),
 
     "geocode_postings" -> ((s, _) => {
-      val index = GeoIndexCache.get(s)
+      val index = BigGeoIndexCache.get(s)
       index.allPostings.select(col("layer"), col("phrase"), col("phrase_id"),
         col("relev"), col("score3"), col("id24"), col("x"), col("y"))
     }),
@@ -298,11 +321,9 @@ object SparkEntry {
     }),
 
     "geocode_fuzzy" -> ((s, _) => {
-      import s.implicits._
-      val index = GeoIndexCache.get(s)
-      val qs = Seq((1L, "West Lake Viev Rd Englewood"), (2L, "Chester New Jersye"),
-        (3L, "Springfeild Pennsylvania"), (4L, "Fulton St Lakewod Texas"))
-        .toDF("query_id", "query")
+      val index = BigGeoIndexCache.get(s)
+      val qs = graft.index.BigGazetteer.fuzzyQueries(s, 1000,
+        BigGeoIndexCache.NPlaces)
       graft.query.Forward.forward(s, index, qs)
         .select(col("query_id"), col("rank"), col("relev"), col("place_name"))
     }),
