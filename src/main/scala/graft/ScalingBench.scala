@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object ScalingBench {
   private val NPages = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAGES", "1500000").toInt
-  private val NQueries = sys.env.getOrElse("SPARK_GRAFT_SCALE_QUERIES", "20000").toInt
+  private val NQueries = sys.env.getOrElse("SPARK_GRAFT_SCALE_QUERIES", "5000").toInt
   private val NPoints = sys.env.getOrElse("SPARK_GRAFT_SCALE_POINTS", "100000000").toLong
+  private val NPlaces = sys.env.getOrElse("SPARK_GRAFT_SCALE_PLACES", "22000").toInt
 
   def main(args: Array[String]): Unit = {
     val cpus = if (args.nonEmpty) args(0).toInt else 32
@@ -33,14 +34,37 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val (a, b, c) = runAll(spark, cpus)
-    println(s"""{"metric":"scaling_level","cpus":$cpus,"ingest_docs_per_sec":$a,"geocode_queries_per_sec":$b,"tile_points_per_sec":$c,"n_pages":$NPages,"n_queries":$NQueries,"n_points":$NPoints}""")
+    val stages = lastGeocodeStats.map { case (k, v) =>
+      "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scaling_level","cpus":$cpus,"ingest_docs_per_sec":$a,"geocode_queries_per_sec":$b,"tile_points_per_sec":$c,"geocode_stage_seconds":$stages,"ingest_alloc_mb_per_sec":${lastIngestAlloc._1},"ingest_alloc_bytes_per_doc":${lastIngestAlloc._2},"n_pages":$NPages,"n_queries":$NQueries,"n_points":$NPoints}""")
     spark.stop()
   }
+
+  /** Per-stage seconds of the last measured geocode run (O3 stats). */
+  @volatile private var lastGeocodeStats: Map[String, Double] = Map.empty
+
+  /** (alloc MB/s, alloc bytes/doc) of the last measured ingest run. */
+  @volatile private var lastIngestAlloc: (Double, Double) = (0.0, 0.0)
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime()
     f
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Total bytes allocated across all live JVM threads (HotSpot
+    * com.sun.management.ThreadMXBean). Spark task threads are pooled, so a
+    * before/after delta over a stage captures its allocation volume; used
+    * to MEASURE (not assert) whether the ingest 8->32 scaling gap is an
+    * allocation/memory-bandwidth ceiling.
+    */
+  private def allocatedBytes(): Long = {
+    java.lang.management.ManagementFactory.getThreadMXBean match {
+      case tmx: com.sun.management.ThreadMXBean =>
+        tmx.getAllThreadIds.map(id =>
+          math.max(0L, tmx.getThreadAllocatedBytes(id))).sum
+      case _ => 0L
+    }
   }
 
   /** Returns (ingest docs/sec, geocode queries/sec, tile points/sec). */
@@ -55,22 +79,37 @@ object ScalingBench {
     // different-size warmup compiles a different class and the measured run
     // would pay interpreted-mode cost (measured 135s vs 5.9s warm)
     ingest(NPages)
+    val alloc0 = allocatedBytes()
     val tA = time(ingest(NPages))
-    System.err.println(s"[scaling cpus=$cpus] ingest ${NPages} pages: ${tA}s")
-
-    // B. batch forward geocode against the built index
-    val index = PageSynth.buildIndex(spark, 1000)
-    index.layers.foreach { l => l.postings.count(); l.tileFeatures.count() }
-    val names = PageSynth.gazetteer.map(_.name.split(",")(0))
-    def geocode(n: Int): Long = {
-      val qs = spark.range(n).select(col("id").as("query_id"),
-        element_at(array(names.map(lit): _*),
-          (pmod(col("id"), lit(names.length)) + 1).cast("int")).as("query"))
-      graft.query.Forward.forward(spark, index, qs).count()
+    val allocDelta = allocatedBytes() - alloc0
+    lastIngestAlloc = (allocDelta / tA / 1e6, allocDelta.toDouble / NPages)
+    System.err.println(f"[scaling cpus=$cpus] ingest ${NPages} pages: ${tA}s " +
+      f"alloc=${allocDelta / 1e9}%.2fGB rate=${allocDelta / tA / 1e9}%.2fGB/s " +
+      f"perDoc=${allocDelta.toDouble / NPages}%.0fB")
+    if (sys.env.get("SPARK_GRAFT_ONLY").contains("ingest")) {
+      println(s"""{"metric":"scaling_ingest","cpus":$cpus,"ingest_docs_per_sec":${NPages / tA},"alloc_mb_per_sec":${lastIngestAlloc._1},"alloc_bytes_per_doc":${lastIngestAlloc._2},"n_pages":$NPages}""")
+      return (NPages / tA, 0.0, 0.0)
     }
-    geocode(NQueries)
-    val tB = time(geocode(NQueries))
-    System.err.println(s"[scaling cpus=$cpus] geocode ${NQueries}: ${tB}s")
+
+    // B. batch forward geocode against the ~110k-entity gazetteer (the
+    // join path, not per-query planning, dominates at this size)
+    val index = graft.index.BigGazetteer.buildIndex(spark, NPlaces)
+    index.layers.foreach { l =>
+      l.postings.count(); l.tileFeatures.count(); l.features.count()
+      l.deletes.count(); l.prefixes.count()
+    }
+    index.allTileFeatures.count()
+    def geocode(n: Int, st: Option[graft.query.Forward.GeocodeStats]): Long = {
+      val qs = graft.index.BigGazetteer.forwardQueries(spark, n, NPlaces)
+      graft.query.Forward.forward(spark, index, qs, stats = st).count()
+    }
+    geocode(NQueries, None)
+    // measured run carries the O3 stats surface: per-stage wall time +
+    // counts become per-stage throughput in the JSON line
+    val gstats = new graft.query.Forward.GeocodeStats()
+    val tB = time(geocode(NQueries, Some(gstats)))
+    System.err.println(s"[scaling cpus=$cpus] geocode ${NQueries}: ${tB}s [$gstats]")
+    lastGeocodeStats = gstats.stageSeconds.toMap
 
     // C. bulk tile assignment: map-only mercator math, aggregated without
     // grouping so the measurement is the codegen scan itself

@@ -63,25 +63,60 @@ object PageSynth {
 
   /** Deterministic pages table: page i mentions entity (i % |gazetteer|),
     * with the entity's GeoJSON embedded in a script tag.
+    *
+    * Allocation-lean by measurement (round-4 ingest-scaling experiment):
+    * the per-entity constants (display name, geo payload, url prefix) are
+    * precomputed once per partition, the page html is assembled in ONE
+    * reused StringBuilder and encoded straight to bytes — no interpolated
+    * intermediate String, no stripMargin second copy, no per-row split.
     */
   def pages(spark: SparkSession, nPages: Int): DataFrame = {
     import spark.implicits._
     val gaz = gazetteer
-    spark.range(nPages).as[Long].map { i =>
-      val e = gaz((i % gaz.length).toInt)
-      val display = e.name.split(",")(0)
-      val url = s"https://example.org/${e.layer}/${e.id}/page-$i"
-      // deterministic pseudo-timestamp: seconds offset from a fixed epoch
-      val ts = new java.sql.Timestamp(1577836800000L + i * 60000L)
-      val geo = s"""{"layer":"${e.layer}","id":${e.id},"name":"${e.name}","score":${e.score},"lon":${e.lon},"lat":${e.lat},"geometry":${e.geomJson}}"""
-      val html =
-        s"""<html><head><title>$display</title></head><body>
-           |<h1>$display</h1><p>Page $i about $display.</p>
-           |<script type="application/geo+json">$geo</script>
-           |</body></html>""".stripMargin
-      val text = s"Page $i about $display. Located at ${e.lon},${e.lat}."
-      (url, ts, html.getBytes("UTF-8"), text, "en")
+    spark.range(nPages).as[Long].mapPartitions { it =>
+      val displays = gaz.map(_.name.split(",")(0))
+      val geos = gaz.map(e =>
+        s"""{"layer":"${e.layer}","id":${e.id},"name":"${e.name}","score":${e.score},"lon":${e.lon},"lat":${e.lat},"geometry":${e.geomJson}}""")
+      val urlPrefixes = gaz.map(e => s"https://example.org/${e.layer}/${e.id}/page-")
+      val locSuffixes = gaz.map(e => s". Located at ${e.lon},${e.lat}.")
+      val sb = new java.lang.StringBuilder(1024)
+      it.map { i =>
+        val k = (i % gaz.length).toInt
+        val display = displays(k)
+        val url = urlPrefixes(k) + i
+        // deterministic pseudo-timestamp: seconds offset from a fixed epoch
+        val ts = new java.sql.Timestamp(1577836800000L + i * 60000L)
+        sb.setLength(0)
+        sb.append("<html><head><title>").append(display)
+          .append("</title></head><body>\n<h1>").append(display)
+          .append("</h1><p>Page ").append(i).append(" about ").append(display)
+          .append(".</p>\n<script type=\"application/geo+json\">")
+          .append(geos(k))
+          .append("</script>\n</body></html>")
+        val html = utf8Bytes(sb)
+        sb.setLength(0)
+        sb.append("Page ").append(i).append(" about ").append(display)
+          .append(locSuffixes(k))
+        val text = sb.toString
+        (url, ts, html, text, "en")
+      }
     }.toDF("url", "warc_ts", "html", "text", "lang")
+  }
+
+  /** Encode a StringBuilder to UTF-8 without the intermediate String:
+    * single-pass ASCII fast path, String fallback otherwise.
+    */
+  private def utf8Bytes(sb: java.lang.StringBuilder): Array[Byte] = {
+    val n = sb.length
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val c = sb.charAt(i)
+      if (c >= 0x80) return sb.toString.getBytes("UTF-8")
+      out(i) = c.toByte
+      i += 1
+    }
+    out
   }
 
   private val GeoScriptOpen =

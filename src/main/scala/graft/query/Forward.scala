@@ -631,8 +631,39 @@ object Forward {
     }
   }
 
+  /** O3 stats surface (reference geocode.js:355-366, 398-450): per-stage
+    * wall time and row counts, filled when passed to [[forward]]. The
+    * engine's stage boundaries are its eager materialization points, so
+    * "phrasematch" covers subquery enumeration, "spatialmatch" the
+    * phrasematch joins + per-query coalesce, "verifymatch" the feature
+    * join + address resolution, and "context_rank" context fill + re-rank
+    * (only measured when `forceOutput`; otherwise the tail stays lazy for
+    * the caller).
+    */
+  final class GeocodeStats(val forceOutput: Boolean = true) {
+    val stageSeconds: scala.collection.mutable.LinkedHashMap[String, Double] =
+      scala.collection.mutable.LinkedHashMap.empty
+    val counts: scala.collection.mutable.LinkedHashMap[String, Long] =
+      scala.collection.mutable.LinkedHashMap.empty
+    override def toString: String =
+      (stageSeconds.map { case (k, v) => f"$k=$v%.3fs" } ++
+        counts.map { case (k, v) => s"$k.count=$v" }).mkString(" ")
+  }
+
+  private def timed[T](stats: Option[GeocodeStats], stage: String)(f: => T): T =
+    stats match {
+      case Some(st) =>
+        val t0 = System.nanoTime()
+        val r = f
+        st.stageSeconds(stage) =
+          st.stageSeconds.getOrElse(stage, 0.0) + (System.nanoTime() - t0) / 1e9
+        r
+      case None => f
+    }
+
   def forward(spark: SparkSession, index: CarmenIndex, queries: DataFrame,
-              opts: Options = Options()): DataFrame = {
+              opts: Options = Options(),
+              stats: Option[GeocodeStats] = None): DataFrame = {
     import spark.implicits._
 
     // F1: option validation with reference error messages
@@ -655,25 +686,25 @@ object Forward {
     // covers in disallowed layers; the types filter applies to the LEAD
     // cover's source at verify (verifymatch.js:191-196) and to the final
     // feature (featureAllowed)
+    // maxidx (reference geocode.js:368-394): with a types filter only
+    // layers BELOW the highest allowed type idx are searched — parents
+    // still contribute context covers, finer layers are never leads
+    val searchMaxidx: Int =
+      if (opts.types.isEmpty) Int.MaxValue
+      else index.layers.filter { l =>
+        l.config.allTypes.exists(opts.types.contains) ||
+          l.config.scoreranges.keys.exists(st =>
+            opts.types.contains(s"${l.config.typ}.$st"))
+      }.map(_.config.idx + 1).foldLeft(0)(math.max)
     val allowedLayers = index.layers.filter { l =>
       val stackOk = opts.stacks.isEmpty || l.config.stack.isEmpty ||
         l.config.stack.exists(s => opts.stacks.exists(_.equalsIgnoreCase(s)))
       // F4: skip layers whose source bounds miss the option bbox
       // (phrasematch.js:41-44, AM-crossing aware)
       val bboxOk = opts.bbox.forall(b => Bbox.amIntersect(b, boundsOf(l)))
-      stackOk && bboxOk && wvIdxs.contains(l.config.idx)
+      stackOk && bboxOk && wvIdxs.contains(l.config.idx) &&
+        l.config.idx < searchMaxidx
     }
-    // sourceAllowed for lead covers (filter-sources.js:23-57): multi-type
-    // sources match on any geocoder_type or declared subtype
-    val leadAllowedIdxs: Set[Int] = index.layers.filter { l =>
-      val typeOk = opts.types.isEmpty ||
-        opts.types.exists(t => l.config.allTypes.contains(t)) ||
-        l.config.scoreranges.keys.exists(sub =>
-          opts.types.contains(s"${l.config.typ}.$sub"))
-      val stackOk = opts.stacks.isEmpty || l.config.stack.isEmpty ||
-        l.config.stack.exists(s => opts.stacks.exists(_.equalsIgnoreCase(s)))
-      typeOk && stackOk
-    }.map(_.config.idx).toSet
     val searchIndex =
       if (allowedLayers.length == index.layers.length) index
       else CarmenIndex(allowedLayers)
@@ -683,20 +714,11 @@ object Forward {
     // without registering with the CacheManager — repeated forward() calls
     // with cache() degrade as every new plan is matched against all
     // previously cached plans (measured 10s -> 27s per call)
-    val subs = subqueries(spark, queries, groups, opts.proximity.isDefined,
-      opts.fuzzy).localCheckpoint()
+    val subs = timed(stats, "phrasematch") {
+      subqueries(spark, queries, groups, opts.proximity.isDefined,
+        opts.fuzzy).localCheckpoint()
+    }
 
-    def tagSig(dfOf: IndexBuilder.LayerIndex => DataFrame): DataFrame =
-      searchIndex.layers.map { l =>
-        dfOf(l).withColumn("qsig", lit(l.config.querySignature))
-      }.reduce(_ unionByName _)
-
-    // 2. phrasematch joins: exact + (strict) prefix for autocomplete enders.
-    // The prefix branch equi-joins on bounded-length prefix keys (the
-    // distributed analog of the reference's sorted phrase_id_range,
-    // docs/index-structure.md:10-12) with a residual startsWith filter for
-    // prefixes longer than the key — no nested-loop scan of the postings.
-    val postings = tagSig(_.postings)
     // F4/F5: bbox in tile space at the max layer zoom; spatialmatch prunes
     // covers whose ancestor/descendant tiles fall outside
     val tileBbox: Option[(Int, Int, Int, Int, Int)] = opts.bbox.map {
@@ -710,6 +732,27 @@ object Forward {
         }
         (z, tx(w), ty(n), tx(e), ty(s0))
     }
+    val matched = phrasematchJoins(searchIndex, subs, opts.autocomplete,
+      opts.fuzzy)
+    runForward(spark, index, searchIndex, matched, tileBbox, opts, stats)
+  }
+
+  /** Phrasematch joins (stage 2): exact + (strict) bounded-prefix-key for
+    * autocomplete enders + symmetric-delete fuzzy. The prefix branch
+    * equi-joins on bounded-length prefix keys (the distributed analog of
+    * the reference's sorted phrase_id_range, docs/index-structure.md:10-12)
+    * with a residual startsWith filter — no nested-loop scan.
+    */
+  private def phrasematchJoins(searchIndex: CarmenIndex, subs: DataFrame,
+                               autocomplete: Boolean,
+                               fuzzy: Boolean): DataFrame = {
+    val spark = subs.sparkSession
+    import spark.implicits._
+    def tagSig(dfOf: IndexBuilder.LayerIndex => DataFrame): DataFrame =
+      searchIndex.layers.map { l =>
+        dfOf(l).withColumn("qsig", lit(l.config.querySignature))
+      }.reduce(_ unionByName _)
+    val postings = tagSig(_.postings)
     val exact = postings.join(subs,
         postings("phrase") === subs("subquery") &&
           postings("qsig") === subs("qsig"))
@@ -717,7 +760,7 @@ object Forward {
       .withColumn("is_prefix", lit(false))
       .withColumn("is_fuzzy", lit(false))
     val withPrefix =
-      if (!opts.autocomplete) exact
+      if (!autocomplete) exact
       else {
         val maxPfx = IndexBuilder.MaxPrefixLen
         val pfxSubs = subs.where(col("ender"))
@@ -735,9 +778,8 @@ object Forward {
 
     // fuzzy branch (P6): symmetric-delete candidate join + DL<=1 verify +
     // levenshtein-ratio weight penalty (reference phrasematch.js:328-345)
-    val matched =
-      if (!opts.fuzzy) withPrefix
-      else {
+    if (!fuzzy) withPrefix
+    else {
         val qVariants = subs.as[SubQ]
           // fuzzy on any window whose hypothesis has fuzz budget left —
           // plain, address-permutation and intersection windows alike
@@ -775,7 +817,47 @@ object Forward {
           .withColumn("is_prefix", lit(false))
           .withColumn("is_fuzzy", lit(true))
         withPrefix.unionByName(fuzzyMatched.select(withPrefix.columns.map(col): _*))
-      }
+    }
+  }
+
+  /** O3 debug surface (reference geocode.js:402-414, options.debug
+    * .phrasematch): every matched subquery window per (query, layer) with
+    * its weight and match kind — the "which phrases hit which index"
+    * introspection a geocoder operator reads before blaming ranking.
+    */
+  def phrasematchDebug(spark: SparkSession, index: CarmenIndex,
+                       queries: DataFrame,
+                       opts: Options = Options()): DataFrame = {
+    val groups = queryGroups(index)
+    val subs = subqueries(spark, queries, groups, opts.proximity.isDefined,
+      opts.fuzzy)
+    phrasematchJoins(index, subs, opts.autocomplete, opts.fuzzy)
+      .select(col("queryId").as("query_id"), col("layer"), col("subquery"),
+        col("mask"), col("weight"), col("is_prefix"), col("is_fuzzy"))
+      .distinct()
+  }
+
+  /** Stages 3-4: spatialmatch + verify + context + re-rank over the
+    * phrasematch join output.
+    */
+  private def runForward(spark: SparkSession, index: CarmenIndex,
+                         searchIndex: CarmenIndex, matched: DataFrame,
+                         tileBbox: Option[(Int, Int, Int, Int, Int)],
+                         opts: Options,
+                         stats: Option[GeocodeStats]): DataFrame = {
+    import spark.implicits._
+    val wvIdxs = index.idxsForWorldview(
+      if (opts.worldview.nonEmpty) opts.worldview else index.worldviews.head)
+    // sourceAllowed for lead covers (filter-sources.js:23-57)
+    val leadAllowedIdxs: Set[Int] = index.layers.filter { l =>
+      val typeOk = opts.types.isEmpty ||
+        opts.types.exists(t => l.config.allTypes.contains(t)) ||
+        l.config.scoreranges.keys.exists(sub =>
+          opts.types.contains(s"${l.config.typ}.$sub"))
+      val stackOk = opts.stacks.isEmpty || l.config.stack.isEmpty ||
+        l.config.stack.exists(s => opts.stacks.exists(_.equalsIgnoreCase(s)))
+      typeOk && stackOk
+    }.map(_.config.idx).toSet
 
     val cfgByLayer = index.layers.map(l =>
       l.config.name -> (l.config, l.scorefactor)).toMap
@@ -816,7 +898,7 @@ object Forward {
     val leadAllowedB = leadAllowedIdxs
 
     // 3. per-query spatialmatch
-    val results = pmRows.groupByKey(_.queryId).flatMapGroups { (qid, it) =>
+    val results0 = pmRows.groupByKey(_.queryId).flatMapGroups { (qid, it) =>
       val (cfgs, ndxs) = cfgBc.value
       // idx-keyed layer-name lookup, built once per query group (no
       // collectFirst scan per cover row)
@@ -912,9 +994,13 @@ object Forward {
             c.x, c.y, c.zoom, c.relev, c.score, c.tmpid, c.mask, c.text,
             c.addrNum, c.partial, c.phraseHash, c.addrPos, c.matchesLanguage)))
       }.iterator
-    }.toDF()
+    }
+    val resultsCk = timed(stats, "spatialmatch") {
       // reused by cover/lead/context branches below — materialize once
-      .localCheckpoint()
+      val ck = results0.toDF().localCheckpoint()
+      stats.foreach(_.counts("spatialmatch") = ck.count())
+      ck
+    }
 
     // 4. verify + format (reference verifymatch.js): join lead covers to
     // features, resolve address numbers, reverse-context fill, per-query
@@ -939,6 +1025,7 @@ object Forward {
         col("types").as("f_types"))
     }.reduce(_ unionByName _)
 
+    val results = resultsCk
     val exploded = results.select(col("queryId").as("query_id"),
         col("rank").as("position"), col("relev").as("smRelev"), col("scoredist"),
         posexplode(col("covers")).as(Seq("pos", "cover")))
@@ -1044,11 +1131,15 @@ object Forward {
     // (reference geocoder.maxScore, index.js:343-345)
     val globalMaxScore =
       if (index.layers.isEmpty) 1.0 else index.layers.map(_.scorefactor).max
-    val leadOut = leadRaw
-      .map(r => resolveLead(r, proximity, language, languageMode, routing,
-        globalMaxScore, layerTextBc.value))
-      .toDF()
-      .localCheckpoint()
+    val leadOut = timed(stats, "verifymatch") {
+      val ck = leadRaw
+        .map(r => resolveLead(r, proximity, language, languageMode, routing,
+          globalMaxScore, layerTextBc.value))
+        .toDF()
+        .localCheckpoint()
+      stats.foreach(_.counts("verifymatch") = ck.count())
+      ck
+    }
 
     val leadRows = leadOut.select(col("query_id"), col("position"), col("kind"),
       col("tmpid"), col("idx"), col("mask"), col("relev"), col("text"),
@@ -1107,11 +1198,13 @@ object Forward {
       index.layers.map(l =>
         l.config.idx -> byName(l.config.gname).map(_.config.idx).min).toMap
     }
-    val leadMeta = leadRows.where(col("kind") === 2)
-      .select(col("query_id"), col("position").as("sub"),
-        col("idx").as("lead_idx"), col("lon"), col("lat"),
-        coalesce(element_at(col("allTypes"), -1), lit("")).as("maxtype"))
-      .localCheckpoint()
+    val leadMeta = timed(stats, "context_rank") {
+      leadRows.where(col("kind") === 2)
+        .select(col("query_id"), col("position").as("sub"),
+          col("idx").as("lead_idx"), col("lon"), col("lat"),
+          coalesce(element_at(col("allTypes"), -1), lit("")).as("maxtype"))
+        .localCheckpoint()
+    }
     val ctxCands = Reverse.candidates(
       leadMeta.select(col("query_id"), col("sub"), col("lon"), col("lat")),
       index, distanceMode = false, radiusMiles = 0.0,
@@ -1333,12 +1426,19 @@ object Forward {
       }
     }
 
-    finals.toDF()
+    val out = finals.toDF()
       .select(col("query_id"), col("rank"), col("relev"), col("scoredist"),
         col("place_name"), col("feature_id"), col("center_lon"),
         col("center_lat"), col("lead_idx"), col("matching_text"),
         col("routable_points"), col("place_type"))
       .orderBy(col("query_id"), col("rank"))
+    stats match {
+      case Some(st) if st.forceOutput =>
+        val ck = timed(stats, "context_rank")(out.localCheckpoint())
+        st.counts("results") = ck.count()
+        ck
+      case _ => out
+    }
   }
 
 }

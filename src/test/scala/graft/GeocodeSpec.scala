@@ -107,6 +107,23 @@ class GeocodeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res(2L).contains("Texas"))
   }
 
+  test("O3 stats + phrasematch debug surfaces") {
+    val sp = spark; import sp.implicits._
+    val queries = Seq((1L, "West Lake View Rd Englewood")).toDF("query_id", "query")
+    val st = new Forward.GeocodeStats()
+    val res = Forward.forward(spark, index, queries, stats = Some(st))
+    assert(res.count() > 0)
+    for (stage <- Seq("phrasematch", "spatialmatch", "verifymatch", "context_rank"))
+      assert(st.stageSeconds.contains(stage), s"missing stage $stage: $st")
+    assert(st.counts("spatialmatch") > 0 && st.counts("results") > 0, s"$st")
+    val dbg = Forward.phrasematchDebug(spark, index, queries)
+      .select(col("layer"), col("subquery"), col("weight"))
+      .as[(String, String, Double)].collect()
+    assert(dbg.exists(r => r._1 == "street" && r._2 == "west lake view rd"), s"got ${dbg.toSeq}")
+    assert(dbg.exists(r => r._1 == "place" && r._2 == "englewood"), s"got ${dbg.toSeq}")
+    assert(dbg.forall(r => r._3 > 0 && r._3 <= 1.0))
+  }
+
   test("batch forward geocode: many queries at once") {
     val sp = spark; import sp.implicits._
     val queries = (0 until 50).map(i => (i.toLong,
