@@ -96,7 +96,10 @@ final case class GeoDoc(
     addressprops: Map[String, Map[Int, String]] = Map.empty,
     // carmen:types: the stack types this feature can claim, coarse->fine;
     // empty = [layer type] (reference feature.js:124, context.js:186-188)
-    types: Seq[String] = Nil
+    types: Seq[String] = Nil,
+    // carmen:reverse_only: never a forward-geocode lead; still appears in
+    // context and reverse results (reference verifymatch.js:472)
+    reverseOnly: Boolean = false
 )
 
 /** One phrase posting grid row (flattened gridstore entry). */

@@ -365,7 +365,8 @@ object Forward {
       fRfromhn: Seq[Seq[String]], fRtohn: Seq[Seq[String]],
       fParityl: Seq[Seq[String]], fParityr: Seq[Seq[String]],
       fIntersections: Seq[Seq[String]],
-      addressLayer: Boolean, fTypes: Seq[String])
+      addressLayer: Boolean, fTypes: Seq[String],
+      fReverseOnly: Boolean)
 
   final case class LeadOut(
       query_id: Long, position: Int, kind: Int, tmpid: Long, idx: Int,
@@ -467,6 +468,9 @@ object Forward {
           k.stripPrefix("override:") -> v
       },
       langOk = langOk, langTexts = r.fLangTexts, leadTypes = r.fTypes)
+    // carmen:reverse_only features are never forward leads
+    // (reference verifymatch.js:472)
+    if (r.fReverseOnly) return noPenalty.copy(kind = -1)
     if (!r.addressLayer || r.featureId < 0) return noPenalty
 
     // pre-parsed binary geometry: no JSON parse per candidate
@@ -1022,7 +1026,8 @@ object Forward {
         col("intersections").as("f_intersections"),
         col("zxy").cast("array<string>").as("f_zxy"),
         lit(l.config.geocoderAddress).as("f_is_address"),
-        col("types").as("f_types"))
+        col("types").as("f_types"),
+        col("reverseOnly").as("f_reverse_only"))
     }.reduce(_ unionByName _)
 
     val results = resultsCk
@@ -1111,7 +1116,8 @@ object Forward {
       coalesce(col("f_parityr"), emptyNested).as("fParityr"),
       coalesce(col("f_intersections"), emptyNested).as("fIntersections"),
       coalesce(col("f_is_address"), lit(false)).as("addressLayer"),
-      coalesce(col("f_types"), lit(array()).cast("array<string>")).as("fTypes"))
+      coalesce(col("f_types"), lit(array()).cast("array<string>")).as("fTypes"),
+      coalesce(col("f_reverse_only"), lit(false)).as("fReverseOnly"))
       .as[LeadRaw]
     // per-layer text info for V3 intersection matching + O1 formatting
     // inside resolveLead
@@ -1256,7 +1262,8 @@ object Forward {
     val tagged = coverRows.unionByName(leadRows).unionByName(contextRows)
       .as[VRowT]
 
-    val limit = opts.limit
+    // hard cap 10 (reference geocode.js:340)
+    val limit = math.min(opts.limit, 10)
     val typesB = opts.types
     val finals = tagged.groupByKey(_.query_id).flatMapGroups { (qid, it) =>
       val (cfgs, ndxs) = cfgBc.value

@@ -60,7 +60,9 @@ object Reverse {
   val ContextModeLimit = 100
 
   final case class ReverseOptions(
-      limit: Int = 1,
+      // suffix-context count for single reverse (reference default 5,
+      // geocode.js:340); nearest-feature count for limit reverse
+      limit: Int = 5,
       reverseMode: String = "distance", // "distance" | "score" (R5)
       types: Seq[String] = Nil,         // result-type filter
       scoreFilter: Option[(Double, Double)] = None, // manual scoreranges window
@@ -130,7 +132,11 @@ object Reverse {
       .withColumn("dist_miles",
         when(col("direct_hit"), lit(0.0)).otherwise(
           geomDistUdf(col("geom_bin"), col("lon"), col("lat"))))
-      .where(col("direct_hit") || col("dist_miles") <= radiusCol)
+      // vtquery direct_hit_polygon (context.js:587, 604): polygon features
+      // only match when the point is INSIDE; points/lines by radius
+      .where(col("direct_hit") ||
+        (!col("geom_type").isin("Polygon", "MultiPolygon") &&
+          col("dist_miles") <= radiusCol))
     // ghost pre-filter only in distance mode (basic-filters, context.js:588)
     val ghosted = if (distanceMode) joined.where(col("score") >= 0) else joined
     val cap = if (distanceMode) DistanceModeLimit else ContextModeLimit
@@ -392,7 +398,17 @@ object Reverse {
     }.toDF()
 
     snapAddresses(spark, index, stacked, pts)
+      .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Reverse option validation (reference geocode.js:215-218): limit > 1
+    * requires exactly one type.
+    */
+  def validateReverseOptions(opts: ReverseOptions,
+                             explicitLimit: Boolean): Option[String] =
+    if (explicitLimit && opts.limit > 1 && opts.types.length != 1)
+      Some("limit must be combined with a single type parameter when reverse geocoding")
+    else None
 
   /** R7 addresscluster.reverse + R6 ITP arbitration on address-layer leads
     * (reference addresscluster.js:228-273, context.js:694-716): leads on
@@ -401,8 +417,10 @@ object Reverse {
     * more than 200 m from the cluster point.
     */
   private def snapAddresses(spark: SparkSession, index: CarmenIndex,
-                            stacked: DataFrame, pts: DataFrame): DataFrame = {
+                            stacked: DataFrame, pts: DataFrame,
+                            byRank: Boolean = false): DataFrame = {
     import spark.implicits._
+    val joinKeys = if (byRank) Seq("query_id", "rank") else Seq("query_id")
     val addressLayers = index.layers.filter(_.config.geocoderAddress)
     val base = stacked.select(col("query_id"), col("rank"), col("place_name"),
       col("feature_id"), col("layer"), col("typ"),
@@ -421,7 +439,7 @@ object Reverse {
       }.reduce(_ unionByName _)
       val raw = stacked
         .join(pts.withColumnRenamed("lon", "q_lon").withColumnRenamed("lat", "q_lat"),
-          Seq("query_id"))
+          joinKeys)
         .join(feats, Seq("layer", "feature_id"), "left")
         .select(col("query_id"), col("rank"), col("place_name"),
           col("feature_id"), col("layer"), col("typ"),
@@ -540,36 +558,94 @@ object Reverse {
       .withColumn("ty", col("ty0") + col("dxy").getItem(1))
       .drop("dxy", "tx0", "ty0")
 
-    val tf = index.allTileFeatures
-      .where(col("idx").isin(layersOfType.map(_.config.idx): _*))
-    val cand = tiles.join(tf, tiles("z") === tf("z") && tiles("tx") === tf("x") &&
-        tiles("ty") === tf("y"))
-      .drop(tf("z"))
-      .where(col("score") >= 0)
-      .withColumn("dist_miles", when(
-        pipUdf(col("geom_bin"), col("lon"), col("lat")), lit(0.0)).otherwise(
-        geomDistUdf(col("geom_bin"), col("lon"), col("lat"))))
+    // address layers expose their INDIVIDUAL cluster points (the engine's
+    // analog of the reference's vectorized per-number vector-tile points,
+    // context.js:268-304 + indexdocs vectorizable): each point is its own
+    // nearest candidate carrying its house number
+    val (addrLayers, plainLayers) = layersOfType.partition(_.config.geocoderAddress)
+    val plainCand: Option[DataFrame] =
+      if (plainLayers.isEmpty) None
+      else {
+        val tf = index.allTileFeatures
+          .where(col("idx").isin(plainLayers.map(_.config.idx): _*))
+        Some(tiles.join(tf, tiles("z") === tf("z") && tiles("tx") === tf("x") &&
+            tiles("ty") === tf("y"))
+          .drop(tf("z"))
+          .where(col("score") >= 0)
+          .withColumn("direct_hit", pipUdf(col("geom_bin"), col("lon"), col("lat")))
+          .withColumn("dist_miles", when(col("direct_hit"), lit(0.0)).otherwise(
+            geomDistUdf(col("geom_bin"), col("lon"), col("lat"))))
+          // direct_hit_polygon: nearest-k never returns a polygon the
+          // point is outside of
+          .where(col("direct_hit") ||
+            !col("geom_type").isin("Polygon", "MultiPolygon"))
+          .withColumn("number", lit(""))
+          .select(col("query_id"), col("idx"), col("layer"), col("feature_id"),
+            col("text"), col("score"), col("dist_miles"),
+            col("f_lon").as("center_lon"), col("f_lat").as("center_lat"),
+            col("number")))
+      }
+    val sparkSess = points.sparkSession
+    import sparkSess.implicits._
+    val addrCand: Option[DataFrame] = addrLayers.map { l =>
+      val zoom = l.config.zoom
+      val pts0 = l.features
+        .select(col("id"), col("text"), col("score"), col("addressnumber"),
+          col("geom_bin"))
+        .as[(Long, String, Double, Seq[Seq[String]], Array[Byte])]
+        .flatMap { case (id, text, score, nums, bin) =>
+          if (bin == null || bin.isEmpty || nums.isEmpty) Iterator.empty
+          else Geom.fromBin(bin) match {
+            case Geom.Collection(parts) =>
+              nums.iterator.zipWithIndex.flatMap { case (ns, k) =>
+                parts.lift(k) match {
+                  case Some(Geom.MultiPoint(mp)) =>
+                    ns.iterator.zipWithIndex.filter(_._2 < mp.length)
+                      .map { case (n, j) =>
+                        (id, text, score, n, mp(j)._1, mp(j)._2) }
+                  case _ => Iterator.empty
+                }
+              }
+            case _ => Iterator.empty
+          }
+        }.toDF("feature_id", "text", "score", "number", "p_lon", "p_lat")
+        .withColumn("pz", lit(zoom))
+        .withColumn("px", GeoOps.tileX(col("p_lon"), zoom))
+        .withColumn("py", GeoOps.tileY(col("p_lat"), zoom))
+        .withColumn("idx", lit(l.config.idx))
+        .withColumn("layer", lit(l.config.name))
+      tiles.join(pts0, tiles("z") === pts0("pz") && tiles("tx") === pts0("px") &&
+          tiles("ty") === pts0("py"))
+        .where(col("score") >= 0)
+        .withColumn("dist_miles", haversineMilesCol(col("lon"), col("lat"),
+          col("p_lon"), col("p_lat")))
+        .select(col("query_id"), col("idx"), col("layer"), col("feature_id"),
+          col("text"), col("score"), col("dist_miles"),
+          col("p_lon").as("center_lon"), col("p_lat").as("center_lat"),
+          col("number"))
+    }.reduceOption(_ unionByName _)
+    val cand = (plainCand.toSeq ++ addrCand.toSeq).reduce(_ unionByName _)
     val filtered = scoreFilter match {
       case Some((lo, hi)) => cand.where(col("score") > lo && col("score") <= hi)
       case None => cand
     }
+    // dedupe features/points appearing in several neighborhood tiles
+    val deduped = filtered.dropDuplicates("query_id", "feature_id", "number")
     val ordered =
       if (opts.reverseMode == "score")
-        filtered.withColumn("rank", row_number().over(Window
+        deduped.withColumn("rank", row_number().over(Window
           .partitionBy(col("query_id"))
           .orderBy(distscoreCol(col("dist_miles"), col("score")).desc,
             col("dist_miles"), col("feature_id"))))
       else
-        filtered.withColumn("rank", row_number().over(Window
+        deduped.withColumn("rank", row_number().over(Window
           .partitionBy(col("query_id"))
-          .orderBy(col("dist_miles"), col("feature_id"))))
+          .orderBy(col("dist_miles"), col("feature_id"), col("number"))))
     ordered.where(col("rank") <= limit)
-      // dedupe features that appear in several neighborhood tiles
-      .dropDuplicates("query_id", "feature_id")
       .select(col("query_id"), col("rank"), col("idx"), col("feature_id"),
         tmpidCol(col("idx"), col("feature_id")).as("tmpid"),
         col("layer"), col("text"), col("dist_miles"),
-        col("f_lon").as("center_lon"), col("f_lat").as("center_lat"))
+        col("center_lon"), col("center_lat"))
   }
 
   final case class TargetMeta(query_id: Long, sub: Int,
@@ -600,7 +676,12 @@ object Reverse {
     val typByIdx: Map[Int, String] = index.layers.map(l =>
       l.config.idx -> l.config.typ).toMap
     val optsB = opts
-    val stackO = StackOpts(types = opts.types, scoreMode = false, full = true)
+    // the requested type IS the filter when none was given explicitly
+    // (geocode.js:257-262 passes options.types, which limit-reverse
+    // validation forces to [typ])
+    val stackO = StackOpts(
+      types = if (opts.types.nonEmpty) opts.types else Seq(typ),
+      scoreMode = false, full = true)
     val paired = cands.joinWith(metaDs,
       cands("query_id") === metaDs("query_id") && cands("sub") === metaDs("sub"))
     val perTarget = paired
@@ -637,8 +718,12 @@ object Reverse {
         (if (addressLayerNames.isEmpty) lit(false)
          else col("layer").isin(addressLayerNames: _*)))
       .drop("dd")
+    // snap each rank's context at ITS target point (the nearest-feature
+    // position), not the original query point
     val snapped = snapAddresses(spark, index, deduped,
-      points.select(col("query_id").cast("long"), col("lon"), col("lat")))
+      near.select(col("query_id"), col("rank"),
+        col("center_lon").as("lon"), col("center_lat").as("lat")),
+      byRank = true)
     snapped
       .withColumn("rank", row_number().over(Window
         .partitionBy(col("query_id")).orderBy(col("rank"))))

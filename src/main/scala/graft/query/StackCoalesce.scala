@@ -226,7 +226,11 @@ object StackCoalesce {
                    proximity: Option[(Double, Double)] = None,
                    bbox: Option[(Int, Int, Int, Int, Int)] = None): Vector[StackResult] = {
     val stacks = stackable(pms)
-    val all = stacks.flatMap(s => coalesceStack(s, proximity, bbox, cap = 4))
+    // single-member stacks keep up to 40 contexts (carmen-core
+    // coalesce_single MAX_CONTEXTS — observable in geocode-unit.limit:
+    // 20 same-phrase places must all surface); multi-member stacks cap 4
+    val all = stacks.flatMap(s =>
+      coalesceStack(s, proximity, bbox, cap = if (s.length == 1) 40 else 4))
       .map(r => rebalance(queryLength, r))
       // category bump: a small relevance bump for queries matching a layer's
       // geocoder_categories, clamped at 1 (reference phrasematch.js:348-355

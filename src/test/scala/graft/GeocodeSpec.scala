@@ -98,6 +98,7 @@ class GeocodeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sp = spark; import sp.implicits._
     val pts = Seq((1L, -74.0, 40.9), (2L, -98.55, 29.95)).toDF("query_id", "lon", "lat")
     val res = Reverse.reverse(spark, index, pts)
+      .where(col("rank") === 1)
       .select(col("query_id"), col("place_name")).as[(Long, String)]
       .collect().toMap
     assert(res(1L).contains("Englewood"))
