@@ -117,6 +117,21 @@ object Forward {
                         addrPos: Int, addrNum: String, partial: Boolean,
                         qsig: String, numberOrder: String, editDist: Int)
 
+  /** One decoded posting grid (numeric payload of a phrase match). */
+  final case class GridLite(relev: Double, score3: Int, id24: Long,
+                            x: Int, y: Int, phraseHash: Int)
+
+  /** One (query window, phrase) match with its grid list — the per-query
+    * spatialmatch input (the reference's phrasematch result shape:
+    * phrases with grid ranges, not exploded grid rows).
+    */
+  final case class PmPhraseRow(queryId: Long, layer: String, subquery: String,
+                               mask: Int, weight: Double, prefix: Boolean,
+                               qlen: Int, addrPos: Int, addrNum: String,
+                               partial: Boolean, numberOrder: String,
+                               fuzzy: Boolean, phrase: String,
+                               langSet: String, grids: Seq[GridLite])
+
   /** Joined phrasematch grid row (input to per-query spatialmatch). */
   final case class PmRow(queryId: Long, layer: String, subquery: String,
                          mask: Int, weight: Double, prefix: Boolean,
@@ -756,34 +771,39 @@ object Forward {
       searchIndex.layers.map { l =>
         dfOf(l).withColumn("qsig", lit(l.config.querySignature))
       }.reduce(_ unionByName _)
-    val postings = tagSig(_.postings)
-    val exact = postings.join(subs,
-        postings("phrase") === subs("subquery") &&
-          postings("qsig") === subs("qsig"))
-      .drop(postings("qsig")).drop(subs("qsig"))
+    // Exact, prefix and fuzzy matching produce one unified small CANDIDATE
+    // table keyed (qsig, phrase) and the posting grids load with ONE probe
+    // of the postings union — a third of the scan volume of three separate
+    // joins (the postings union is the big side; candidates broadcast).
+    val candCols = Seq("qsig", "phrase", "queryId", "subquery", "mask",
+      "weight", "qlen", "addrPos", "addrNum", "partial", "numberOrder",
+      "is_prefix", "is_fuzzy").map(col)
+    val exactCand = subs
+      .withColumn("phrase", col("subquery"))
       .withColumn("is_prefix", lit(false))
       .withColumn("is_fuzzy", lit(false))
-    val withPrefix =
-      if (!autocomplete) exact
-      else {
+      .select(candCols: _*)
+    val prefixCand: Option[DataFrame] =
+      if (!autocomplete) None
+      else Some {
         val maxPfx = IndexBuilder.MaxPrefixLen
         val pfxSubs = subs.where(col("ender"))
           .withColumn("pfx", substring(col("subquery"), 1, maxPfx))
           .withColumn("pfx_len", least(length(col("subquery")), lit(maxPfx)))
-        val cand = tagSig(_.prefixes).join(pfxSubs, Seq("pfx", "pfx_len", "qsig"))
+        tagSig(_.prefixes).join(pfxSubs, Seq("pfx", "pfx_len", "qsig"))
           .where(col("phrase").startsWith(col("subquery")) &&
             col("phrase") =!= col("subquery"))
-          .drop("pfx", "pfx_len", "qsig")
-        val prefixMatched = searchIndex.allPostings.join(cand, Seq("layer", "phrase"))
           .withColumn("is_prefix", lit(true))
           .withColumn("is_fuzzy", lit(false))
-        exact.unionByName(prefixMatched.select(exact.columns.map(col): _*))
+          .select(candCols: _*)
+          // same-qsig sibling layers repeat (pfx, phrase) rows
+          .distinct()
       }
-
     // fuzzy branch (P6): symmetric-delete candidate join + DL<=1 verify +
     // levenshtein-ratio weight penalty (reference phrasematch.js:328-345)
-    if (!fuzzy) withPrefix
-    else {
+    val fuzzyCand: Option[DataFrame] =
+      if (!fuzzy) None
+      else Some {
         val qVariants = subs.as[SubQ]
           // fuzzy on any window whose hypothesis has fuzz budget left —
           // plain, address-permutation and intersection windows alike
@@ -796,32 +816,31 @@ object Forward {
               FuzzVar(s.queryId, s.subquery, s.mask, s.ender, s.weight, s.qlen,
                 s.qsig, v, s.addrPos, s.addrNum, s.numberOrder))
           }.toDF()
-        val cand = tagSig(_.deletes).join(qVariants, Seq("variant", "qsig"))
+        tagSig(_.deletes).join(qVariants, Seq("variant", "qsig"))
           .where(col("phrase") =!= col("subquery"))
-          .select(col("layer").as("cand_layer"), col("phrase").as("cand_phrase"),
-            col("queryId"), col("subquery"), col("mask"), col("ender"),
+          .select(col("qsig"), col("phrase").as("cand_phrase"),
+            col("queryId"), col("subquery"), col("mask"),
             col("weight"), col("qlen"), col("addrPos"), col("addrNum"),
             col("numberOrder"))
           .distinct()
           .withColumn("edit", phraseDistUdf(col("subquery"), col("cand_phrase")))
           .where(col("edit") === 1)
           .withColumn("weight", col("weight") * penaltyUdf(col("subquery"), col("edit")))
-          .withColumn("partial", lit(false))
-          .withColumn("editDist", lit(1))
-        val ap = searchIndex.allPostings
-        val fuzzyMatched = ap.join(cand,
-            ap("layer") === cand("cand_layer") &&
-              ap("phrase") === cand("cand_phrase"))
           // the MATCHED phrase becomes the cover text (reference
           // phrasematch.js:242 `sq = phraseSetMatches[i].phrase`): dedupe
           // keys and V6 disambiguation see the corrected text, so a fuzzy
           // result is never address-unique-deduped against its exact twin
           .withColumn("subquery", col("cand_phrase"))
-          .drop("cand_layer", "cand_phrase", "edit")
+          .withColumn("phrase", col("cand_phrase"))
+          .withColumn("partial", lit(false))
           .withColumn("is_prefix", lit(false))
           .withColumn("is_fuzzy", lit(true))
-        withPrefix.unionByName(fuzzyMatched.select(withPrefix.columns.map(col): _*))
-    }
+          .select(candCols: _*)
+      }
+    val candAll = (Seq(exactCand) ++ prefixCand ++ fuzzyCand)
+      .reduce(_ unionByName _)
+    val postings = tagSig(_.postings)
+    postings.join(candAll, Seq("qsig", "phrase")).drop("qsig")
   }
 
   /** O3 debug surface (reference geocode.js:402-414, options.debug
@@ -887,14 +906,31 @@ object Forward {
     val cfgBc = spark.sparkContext.broadcast((cfgByLayer, ndxByName))
     val langTargetBc = spark.sparkContext.broadcast(langTargetByLayer)
 
-    val pmRows = matched.select(
-      col("queryId"), col("layer"), col("subquery"), col("mask"), col("weight"),
-      col("is_prefix").as("prefix"), col("qlen"), col("relev"), col("score3"),
-      col("id24"), col("x"), col("y"), col("phrase_hash").as("phraseHash"),
-      col("addrPos"), col("addrNum"), col("partial"),
-      col("lang_set").as("langSet"), col("numberOrder"),
-      col("phrase"), col("is_fuzzy").as("fuzzy")
-    ).as[PmRow]
+    // Grid rows aggregate to ONE row per (query, window, phrase) BEFORE the
+    // per-query shuffle (collect_list partial-aggregates map-side): the
+    // matched join's grid fan-out (dozens of cover tiles per phrase at
+    // z12-z14) would otherwise repeat the layer/subquery/phrase strings on
+    // every grid row — measured 11.8M rows for 2k queries on the 110k-
+    // entity gazetteer vs ~0.3M after this agg. This is also the reference
+    // shape: phrasematch returns PHRASE matches, grids travel as lists.
+    val pmRowsBase = matched.groupBy(
+        col("queryId"), col("layer"), col("subquery"), col("mask"),
+        col("weight"), col("is_prefix").as("prefix"), col("qlen"),
+        col("addrPos"), col("addrNum"), col("partial"), col("numberOrder"),
+        col("is_fuzzy").as("fuzzy"), col("phrase"),
+        col("lang_set").as("langSet"))
+      .agg(collect_list(struct(
+        col("relev"), col("score3"), col("id24"), col("x"), col("y"),
+        col("phrase_hash").as("phraseHash"))).as("grids"))
+    // with stats on, the phrasematch joins materialize separately so
+    // "pm_join" vs "spatialmatch" (coalesce kernel) attribute honestly
+    val pmRows = stats match {
+      case Some(st) =>
+        val ck = timed(stats, "pm_join")(pmRowsBase.localCheckpoint())
+        st.counts("pm_join") = ck.count()
+        ck.as[PmPhraseRow]
+      case None => pmRowsBase.as[PmPhraseRow]
+    }
 
     val proximity = opts.proximity
     val limitVerify = opts.limitVerify
@@ -912,7 +948,10 @@ object Forward {
       val qlen = rows.iterator.map(_.qlen).min // base hypothesis length
       val pms = rows.groupBy(r => (r.layer, r.mask, r.subquery, r.prefix,
           r.addrNum, r.partial, r.numberOrder, r.addrPos, r.fuzzy))
-        .flatMap { case ((layer, mask, subq, pfx, addrNum, partial, numberOrder, addrPos, fuzzy), grs0) =>
+        .flatMap { case ((layer, mask, subq, pfx, addrNum, partial, numberOrder, addrPos, fuzzy), prs) =>
+          // flatten the per-phrase grid lists back to grid entries
+          val grs0: Vector[(GridLite, String)] =
+            prs.toVector.flatMap(pr => pr.grids.map(g => (g, pr.langSet)))
           val (cfg, scorefactor) = cfgs(layer)
           // partial-number searches require the proximity point INSIDE the
           // source bounds (proxMatch, phrasematch.js:46-48, 207) and keep
@@ -929,7 +968,7 @@ object Forward {
                   else (-180.0, -85.0, 180.0, 85.0)
                 }) =>
                 val radius = Proximity.scaleRadius(cfg.zoom)
-                grs0.filter { g =>
+                grs0.filter { case (g, _) =>
                   val cLon = Mercator.ll((g.x + 0.5) * Mercator.TileSize, 0, cfg.zoom)._1
                   val cLat = Mercator.ll(0, (g.y + 0.5) * Mercator.TileSize, cfg.zoom)._2
                   Proximity.distance(plon, plat, cLon, cLat, g.x, g.y, cfg.zoom) < radius
@@ -940,25 +979,25 @@ object Forward {
           else Some {
           // number-order penalty (phrasematch.js:357-369): the layer expects
           // the house number first/last and this match has it elsewhere
-          val w0 = grs.head.weight
+          val w0 = prs.head.weight
           val weight =
             if (cfg.expectedNumberOrder.nonEmpty && numberOrder.nonEmpty &&
               numberOrder != cfg.expectedNumberOrder) w0 * 0.99
             else w0
+          val target = langTargetBc.value.getOrElse(layer, "default")
           StackCoalesce.Pm(layer, cfg.idx, ndxs(layer), cfg.nonOverlapping,
             cfg.zoom, subq, mask, weight, pfx,
             math.max(scorefactor, 1.0),
-            grs.map { g =>
-              val target = langTargetBc.value.getOrElse(layer, "default")
-              val langs = g.langSet.split(",")
+            grs.map { case (g, langSet) =>
+              val langs = langSet.split(",")
               StackCoalesce.GridRow(g.x, g.y, g.relev, g.score3,
                 g.id24, g.phraseHash,
-                matchesLanguage = g.langSet.isEmpty ||
+                matchesLanguage = langSet.isEmpty ||
                   langs.contains("all") || langs.contains(target))
-            }.toVector,
+            },
             addrNum, partial, catMatch = cfg.categories.contains(subq),
             addrPos = addrPos, fuzzy = fuzzy,
-            nPhrases = grs.iterator.map(_.phrase).toSet.size)
+            nPhrases = prs.iterator.map(_.phrase).toSet.size)
           }
         }.toVector
       // P1 suppressions, per source (phrasematch.js:385-402): at z>=14 a
