@@ -115,7 +115,12 @@ object Forward {
   final case class SubQ(queryId: Long, subquery: String, mask: Int,
                         ender: Boolean, weight: Double, qlen: Int,
                         addrPos: Int, addrNum: String, partial: Boolean,
-                        qsig: String, numberOrder: String, editDist: Int)
+                        qsig: String, numberOrder: String, editDist: Int,
+                        // wordBoundaryPrefix ending (phrasematch.js:84-92):
+                        // the query ends in a separator or a replaced last
+                        // word, so ender windows only prefix-match at WHOLE
+                        // WORD boundaries
+                        wordBoundary: Boolean = false)
 
   /** One decoded posting grid (numeric payload of a phrase match). */
   final case class GridLite(relev: Double, score3: Int, id24: Long,
@@ -274,6 +279,14 @@ object Forward {
               val gaps = Phrases.gapMasks(replaced)
               val normalized = TextNormalize.normalizeQuery(replaced)
               val tokens = g.replacers.simple(normalized.tokens)
+              // endsInBoundary / lastWord -> wordBoundaryPrefix ending
+              // (phrasematch.js:84-92); a simple word replacement of the
+              // final term counts as lastWord (the reference preloads word
+              // replacements into carmen-core, which tracks the same flag)
+              val wordBoundaryHyp = normalized.lastWord ||
+                (normalized.separators.nonEmpty && normalized.separators.last.nonEmpty) ||
+                (tokens.nonEmpty && normalized.tokens.nonEmpty &&
+                  tokens.last != normalized.tokens.last)
               if (tokens.isEmpty) Iterator.empty
               else {
                 val owner = normalized.owner
@@ -355,7 +368,8 @@ object Forward {
                         p.addressPos.map(owner(_)).getOrElse(-1),
                         p.addressNumber.getOrElse(
                           if (partial) tokens.head else ""),
-                        partial, g.qsig, p.numberOrder.getOrElse(""), initDist)
+                        partial, g.qsig, p.numberOrder.getOrElse(""), initDist,
+                        wordBoundary = wordBoundaryHyp)
                     }
                   }
               }
@@ -778,6 +792,12 @@ object Forward {
     val candCols = Seq("qsig", "phrase", "queryId", "subquery", "mask",
       "weight", "qlen", "addrPos", "addrNum", "partial", "numberOrder",
       "is_prefix", "is_fuzzy").map(col)
+    // wordBoundaryPrefix: only whole-word phrase extensions
+    val prefixOk =
+      when(col("wordBoundary"),
+        col("phrase").startsWith(concat(col("subquery"), lit(" "))))
+      .otherwise(col("phrase").startsWith(col("subquery")) &&
+        col("phrase") =!= col("subquery"))
     val exactCand = subs
       .withColumn("phrase", col("subquery"))
       .withColumn("is_prefix", lit(false))
@@ -791,8 +811,7 @@ object Forward {
           .withColumn("pfx", substring(col("subquery"), 1, maxPfx))
           .withColumn("pfx_len", least(length(col("subquery")), lit(maxPfx)))
         tagSig(_.prefixes).join(pfxSubs, Seq("pfx", "pfx_len", "qsig"))
-          .where(col("phrase").startsWith(col("subquery")) &&
-            col("phrase") =!= col("subquery"))
+          .where(prefixOk)
           .withColumn("is_prefix", lit(true))
           .withColumn("is_fuzzy", lit(false))
           .select(candCols: _*)

@@ -45,12 +45,13 @@ object Reverse {
   def distscoreScalar(dist: Double, score: Double): Double =
     math.round(score * (1000.0 / math.max(dist, 35.0)) * 1.0e4) / 1.0e4
 
-  /** The reference's vtquery radius: 1000 web-mercator units of a 4096-unit
-    * tile at the layer zoom, converted to miles at the equator
-    * (reference lib/geocoder/context.js:583).
+  /** The reference's vtquery radius: 1000 METERS flat, independent of
+    * layer zoom (context.js:587/604 `radius: 1000` + the
+    * `tilequery.distance > 1000` guard in processVtQueryResults:488 —
+    * observable in geocode-unit.reverse-scoredist: a point 0.006 deg off
+    * matches, 0.007 deg does not).
     */
-  def vtqueryRadiusMiles(zoom: Int): Double =
-    24901.46 / (1L << zoom) * (1000.0 / 4096.0)
+  val VtqueryRadiusMiles: Double = 1000.0 / 1609.344
 
   /** vtquery limit in reverseMode=distance (context.js:583-588). */
   val DistanceModeLimit = 5
@@ -110,14 +111,9 @@ object Reverse {
         .withColumn("ty", GeoOps.tileY(col("lat"), z))
     }.reduce(_ unionByName _)
 
-    // per-layer default radius = vtquery's 1000 mercator units at the
-    // layer's zoom; an explicit positive radius overrides it
-    val zoomRadius = index.zooms.map(z => z -> vtqueryRadiusMiles(z)).toMap
+    // vtquery's flat 1000 m default; an explicit positive radius overrides
     val radiusCol =
-      if (radiusMiles > 0) lit(radiusMiles)
-      else index.zooms.foldLeft(lit(0.0)) { (acc, z) =>
-        when(col("z") === z, lit(zoomRadius(z))).otherwise(acc)
-      }
+      if (radiusMiles > 0) lit(radiusMiles) else lit(VtqueryRadiusMiles)
 
     val tf0 = index.allTileFeatures
     val tf = allowedIdxs match {
@@ -374,6 +370,8 @@ object Reverse {
   def reverseWithOptions(spark: SparkSession, index: CarmenIndex,
                          points: DataFrame, opts: ReverseOptions): DataFrame = {
     import spark.implicits._
+    validateReverseOptions(opts, explicitLimit = false).foreach(msg =>
+      throw new IllegalArgumentException(msg))
     val pts = points.select(col("query_id").cast("long"), col("lon"), col("lat"))
     val cpts = pts.withColumn("sub", lit(0))
     val maxidx = maxidxFor(index, opts.types)
@@ -406,7 +404,9 @@ object Reverse {
     */
   def validateReverseOptions(opts: ReverseOptions,
                              explicitLimit: Boolean): Option[String] =
-    if (explicitLimit && opts.limit > 1 && opts.types.length != 1)
+    if (opts.reverseMode != "distance" && opts.reverseMode != "score")
+      Some(s"${opts.reverseMode} is not a valid reverseMode. Must be one of: score, distance")
+    else if (explicitLimit && opts.limit > 1 && opts.types.length != 1)
       Some("limit must be combined with a single type parameter when reverse geocoding")
     else None
 
