@@ -282,6 +282,26 @@ object SparkEntry {
       graft.query.Reverse.nearestK(s, index, pts, "street", limit = 3)
     }),
 
+    // limit-reverse: k nearest features of one type, each with its own
+    // exclusive-target context (reference geocode.js:247-287)
+    "geocode_reverse_limit" -> ((s, _) => {
+      val index = BigGeoIndexCache.get(s)
+      val pts = graft.index.BigGazetteer.reversePoints(s, 500,
+        BigGeoIndexCache.NPlaces)
+      graft.query.Reverse.reverseLimit(s, index, pts, "street", limit = 3)
+    }),
+
+    // O3 debug surface: matched windows + weights per (query, layer)
+    "geocode_pm_debug" -> ((s, _) => {
+      val index = GeoIndexCache.get(s)
+      import s.implicits._
+      val qs = Seq((1L, "West Lake View Rd Englewood"),
+        (2L, "Chester New Jersey"), (3L, "Englewood")).toDF("query_id", "query")
+      graft.query.Forward.phrasematchDebug(s, index, qs)
+        .select(col("query_id"), col("layer"), col("subquery"), col("weight"),
+          col("is_prefix"), col("is_fuzzy"))
+    }),
+
     "geocode_tile_index" -> ((s, _) => {
       val index = BigGeoIndexCache.get(s)
       index.layers.map(_.tileFeatures.select(col("z"), col("x"), col("y"),
