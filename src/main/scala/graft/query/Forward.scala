@@ -27,17 +27,33 @@ import graft.model._
   */
 object Forward {
 
+  // reference lib/constants.js:23-25
+  val VerifymatchMaxFeatures = 50 // max spatialmatches loaded to fill stackLimit
+  val MaxContextsLimit = 20       // max contexts loaded to get limitVerify good ones
+
+  /** Speculative feature-load cap. The reference loads features
+    * SEQUENTIALLY in chunks (verifymatch.js:85-227), stopping at 50 loads;
+    * this engine replaces the sequential loads with ONE batch equi-join of
+    * every spatialmatch the chunk machine could ever reach, then replays
+    * the exact chunk state machine per query with all loads in hand. The
+    * machine can reach past the first 50 candidates only via deferred
+    * partial-number entries (verifymatch.js:203-212), so 70 bounds 50
+    * loads plus a full chunk of deferrals; at cluster scale one wide join
+    * beats up to four narrow sequential join rounds.
+    */
+  val SpeculativeLoadLimit = 70
+
   final case class Options(
       limit: Int = 5,
       autocomplete: Boolean = true,
       fuzzy: Boolean = true,
       proximity: Option[(Double, Double)] = None,
-      // V1/V14 equivalent: the reference loads candidates in chunks of
-      // VERIFYMATCH_STACK_LIMIT=20 and backfills until MAX_CONTEXTS_LIMIT=20
-      // good contexts (verifymatch.js:85-227, 301-331); this engine verifies
-      // the top `limitVerify` candidates in ONE batch join and ranks — the
-      // same result set without the driver round-trips
-      limitVerify: Int = 20,
+      // V14 verify chunking (reference verifymatch.js:36-331): limitVerify
+      // is the reference's limit_verify (context chunk size + final result
+      // slice), stackLimit its verifymatch_stack_limit (the verified-
+      // feature target the feature-phase backfill loop fills toward)
+      limitVerify: Int = 10,
+      stackLimit: Int = 20,
       language: Option[String] = None,
       languageMode: String = "",                      // F3 "strict" filter
       types: Seq[String] = Nil,                       // F2/F3 layer-type filter (+subtypes)
@@ -156,7 +172,8 @@ object Forward {
                             addrPos: Int, matchesLang: Boolean)
 
   /** Tagged row feeding the per-query verify re-rank (kind: 0=cover,
-    * 1=context feature, 2=lead feature). */
+    * 1=context feature, 2=lead feature, 3=loose-sets cover — the best
+    * cover per tmpid over ALL spatialmatches, spatialmatch.js:64-68). */
   final case class VRowT(query_id: Long, position: Int, kind: Int, tmpid: Long,
                          idx: Int, mask: Int, relev: Double, text: String,
                          zoom: Int, smRelev: Double, scoredist: Double,
@@ -171,7 +188,9 @@ object Forward {
                          langTexts: Map[String, String],
                          // context claimed type + stack order (R8); lead
                          // carmen:types array (kind 2)
-                         ctyp: String, corder: Int, allTypes: Seq[String])
+                         ctyp: String, corder: Int, allTypes: Seq[String],
+                         // kind 2 only: verified order + carmen:position
+                         vorder: Int, cpos: Int)
 
   /** Per-lead context-fill meta (maxidx source + maxtype). */
   final case class CtxMeta(query_id: Long, sub: Int, lead_idx: Int,
@@ -418,7 +437,14 @@ object Forward {
       langTexts: Map[String, String] = Map.empty,
       // carmen:types of the lead feature: the LAST entry is its extid type
       // and the context maxtype (verifymatch.js:476-478, 546)
-      leadTypes: Seq[String] = Nil)
+      leadTypes: Seq[String] = Nil,
+      // spatialmatch.partialNumber: feeds the feature-phase chunk
+      // machine's partial-number batch cap (verifymatch.js:186-212)
+      partial: Boolean = false,
+      // verified-order index (context chunks slice in this order) and the
+      // reference's carmen:position value (startPos + pos, including the
+      // off-by-one startPos quirk for backfill chunks, verifymatch.js:160)
+      vorder: Int = -1, cpos: Int = 0)
 
   /** Per-layer text info for verify/format (simple replacer, intersection
     * token, category set, routable flag).
@@ -496,7 +522,8 @@ object Forward {
         case (k, v) if k.startsWith("override:") && v.nonEmpty =>
           k.stripPrefix("override:") -> v
       },
-      langOk = langOk, langTexts = r.fLangTexts, leadTypes = r.fTypes)
+      langOk = langOk, langTexts = r.fLangTexts, leadTypes = r.fTypes,
+      partial = r.partial)
     // carmen:reverse_only features are never forward leads
     // (reference verifymatch.js:472)
     if (r.fReverseOnly) return noPenalty.copy(kind = -1)
@@ -882,6 +909,104 @@ object Forward {
   /** Stages 3-4: spatialmatch + verify + context + re-rank over the
     * phrasematch join output.
     */
+  /** V14 feature-phase chunk machine (reference verifymatch.js:85-227):
+    * getSpatialmatchesChunk + afterFeatureChunk replayed over one query's
+    * batch-loaded candidates. Input rows are position-ordered resolved lead
+    * candidates (kind 2 = verified feature, kind -1 = loaded but dropped
+    * inside verifyFeatures, featureId < 0 = load returned null); per-
+    * feature verification already ran distributively in [[resolveLead]],
+    * so only the chunking (stopEarly, partial-number batch cap, the 50-
+    * load ceiling, the per-chunk sortFeature) replays here. Returns the
+    * verified leads with `vorder` (context-chunk order) and `cpos` (the
+    * reference's carmen:position, including its startPos-1 quirk) set.
+    */
+  private def verifyFeaturePhase(rows0: Vector[LeadOut], stackLimit: Int,
+                                 proximitySet: Boolean, filtersActive: Boolean,
+                                 featureOk: LeadOut => Boolean): Vector[LeadOut] = {
+    val rows = rows0.sortBy(_.position)
+    val verified = scala.collection.mutable.ArrayBuffer.empty[(LeadOut, Int, Double)]
+    var remaining = rows
+    var matchesSeen = 0
+    var batchSize = stackLimit
+    var startPos = 0
+    var break = false
+    while (!break) {
+      // getSpatialmatchesChunk (verifymatch.js:178-227); the stopEarly /
+      // partial-cap path only engages when more candidates remain than the
+      // batch size (reference quirk preserved)
+      var chunk = Vector.empty[LeadOut]
+      val backfill = scala.collection.mutable.ArrayBuffer.empty[LeadOut]
+      var stopEarly = false
+      if (remaining.length > batchSize) {
+        val partialLimit = 0.8 * stackLimit
+        var pCount = 0
+        var i = 0
+        var done = false
+        while (i < remaining.length && !done) {
+          val sm = remaining(i)
+          if (verified.nonEmpty && sm.smRelev < verified(0)._1.smRelev) {
+            stopEarly = true; done = true
+          } else {
+            if (sm.partial && pCount > partialLimit) backfill += sm
+            else {
+              if (sm.partial) pCount += 1
+              chunk :+= sm
+            }
+            if (chunk.length == batchSize) {
+              backfill ++= remaining.drop(i + 1); done = true
+            }
+            i += 1
+          }
+        }
+      } else chunk = remaining
+      // afterFeatureChunk (verifymatch.js:115-135): featureAllowed filter
+      // drops null loads and disallowed features BEFORE position indexes
+      // are assigned; without filters, null loads keep their slot
+      val arr =
+        if (filtersActive)
+          chunk.filter(r => r.featureId >= 0 && r.langOk && featureOk(r))
+        else chunk
+      val chunkVerified = arr.zipWithIndex.collect {
+        case (r, p) if r.kind == 2 && r.featureId >= 0 =>
+          val relevance =
+            if (proximitySet)
+              Proximity.relevanceScore(r.smRelev, r.scoredist,
+                addressNull = r.number.isEmpty && !r.addrPenalty,
+                ghost = r.fscore < 0)
+            else 0.0
+          (r, startPos + p, relevance)
+      }
+      // sortFeature (verifymatch.js:984-1001): relevance, spatialmatch
+      // relev, address non-null, non-omitted, scoredist, position
+      val sorted = chunkVerified.sortWith { case ((a, ap, ar), (b, bp, br)) =>
+        if (ar != br) ar > br
+        else if (a.smRelev != b.smRelev) a.smRelev > b.smRelev
+        else {
+          val an = if (a.number.isEmpty && !a.addrPenalty) 1 else 0
+          val bn = if (b.number.isEmpty && !b.addrPenalty) 1 else 0
+          if (an != bn) an < bn
+          else if (a.omitted != b.omitted) !a.omitted
+          else if (a.scoredist != b.scoredist) a.scoredist > b.scoredist
+          else ap < bp
+        }
+      }
+      verified ++= sorted
+      val totalSeen = matchesSeen + chunk.length
+      if (stopEarly || backfill.isEmpty || verified.length >= stackLimit ||
+        totalSeen >= VerifymatchMaxFeatures) break = true
+      else {
+        batchSize = math.min(stackLimit - verified.length,
+          VerifymatchMaxFeatures - totalSeen)
+        matchesSeen = totalSeen
+        startPos = totalSeen - 1 // reference off-by-one (verifymatch.js:160)
+        remaining = backfill.toVector
+      }
+    }
+    verified.iterator.zipWithIndex.map { case ((r, cpos, _), vo) =>
+      r.copy(vorder = vo, cpos = cpos)
+    }.toVector
+  }
+
   private def runForward(spark: SparkSession, index: CarmenIndex,
                          searchIndex: CarmenIndex, matched: DataFrame,
                          tileBbox: Option[(Int, Int, Int, Int, Int)],
@@ -1050,12 +1175,26 @@ object Forward {
         if (leadAllowedB.size == cfgs.size) sms0
         else sms0.filter(sm => sm.covers.headOption.exists(c =>
           leadAllowedB.contains(c.idx)))
-      sms.take(limitVerify).zipWithIndex.map { case (sm, i) =>
-        ResultRow(qid, i + 1, JsNum.roundTo(sm.relev, 4), sm.scoredist,
-          sm.covers.map(c => CoverRow(c.idx, nameByIdx.getOrElse(c.idx, "?"), c.id24,
-            c.x, c.y, c.zoom, c.relev, c.score, c.tmpid, c.mask, c.text,
-            c.addrNum, c.partial, c.phraseHash, c.addrPos, c.matchesLanguage)))
-      }.iterator
+      def coverRowOf(c: CoverEntry): CoverRow =
+        CoverRow(c.idx, nameByIdx.getOrElse(c.idx, "?"), c.id24,
+          c.x, c.y, c.zoom, c.relev, c.score, c.tmpid, c.mask, c.text,
+          c.addrNum, c.partial, c.phraseHash, c.addrPos, c.matchesLanguage)
+      // rank-0 row: the loose `sets` covers — best relev per tmpid over ALL
+      // spatialmatches, pre-filter (the reference's matched.sets,
+      // spatialmatch.js:64-68) — feeds the verify loose pass and the
+      // context matched-set
+      val bestByTmpid = scala.collection.mutable.HashMap.empty[Long, CoverEntry]
+      for (sm <- sms0; c <- sm.covers) {
+        val cur = bestByTmpid.get(c.tmpid)
+        if (cur.isEmpty || cur.get.relev < c.relev) bestByTmpid(c.tmpid) = c
+      }
+      val setsRow = ResultRow(qid, 0, 0.0, 0.0,
+        bestByTmpid.values.toVector.sortBy(_.tmpid).map(coverRowOf))
+      Iterator(setsRow) ++
+        sms.take(SpeculativeLoadLimit).zipWithIndex.map { case (sm, i) =>
+          ResultRow(qid, i + 1, JsNum.roundTo(sm.relev, 4), sm.scoredist,
+            sm.covers.map(coverRowOf))
+        }.iterator
     }
     val resultsCk = timed(stats, "spatialmatch") {
       // reused by cover/lead/context branches below — materialize once
@@ -1100,7 +1239,8 @@ object Forward {
     // and shuffles big ones (address/POI layers cannot broadcast at scale).
     // S4 cover check (feature.js:164): the feature's zxy covers must
     // include the cover tile — prunes id24 hash collisions up front.
-    val leadJoined0 = exploded.where(col("pos") === 0)
+    // rank 0 is the loose-sets row (no feature load); leads are rank >= 1
+    val leadJoined0 = exploded.where(col("pos") === 0 && col("position") >= 1)
       .join(featuresAll,
         exploded("idx") === featuresAll("f_idx") &&
           exploded("id24") === featuresAll("f_id24") &&
@@ -1195,12 +1335,45 @@ object Forward {
     // (reference geocoder.maxScore, index.js:343-345)
     val globalMaxScore =
       if (index.layers.isEmpty) 1.0 else index.layers.map(_.scorefactor).max
+    // F3 featureAllowed (filter-sources.js:64-110) gates the verified set
+    // only when type/stack/strict-language filters are active (the
+    // reference's afterFeatureChunk condition, verifymatch.js:119-135)
+    val typesOpt = opts.types
+    val filtersActive = typesOpt.nonEmpty || opts.stacks.nonEmpty ||
+      opts.languageMode == "strict"
+    val stackLim = opts.stackLimit
+    val proximitySet = proximity.isDefined
     val leadOut = timed(stats, "verifymatch") {
-      val ck = leadRaw
+      val resolved = leadRaw
         .map(r => resolveLead(r, proximity, language, languageMode, routing,
           globalMaxScore, layerTextBc.value))
-        .toDF()
-        .localCheckpoint()
+      // V14: the feature-phase chunk machine replays per query over the
+      // batch-loaded candidates, emitting only the verified leads (at most
+      // stackLimit) that context fill + re-rank run on
+      val ck = resolved.groupByKey(_.query_id).flatMapGroups { (_, it) =>
+        val (cfgs, _) = cfgBc.value
+        val cfgByIdxA: Map[Int, (String, LayerConfig)] =
+          cfgs.map { case (name, (c, _)) => c.idx -> ((name, c)) }
+        def typeAllowedA(r: LeadOut): Boolean =
+          typesOpt.isEmpty || {
+            val types =
+              if (r.leadTypes.nonEmpty) r.leadTypes
+              else cfgByIdxA.get(r.idx).map(_._2.typ).toSeq
+            typesOpt.exists { t =>
+              val parts = t.split("\\.", 2)
+              if (parts.length == 1) types.contains(t)
+              else types.contains(parts(0)) && cfgByIdxA.get(r.idx).exists {
+                case (name, c) =>
+                  c.scoreranges.get(parts(1)).exists { rr =>
+                    val sf = cfgs(name)._2
+                    r.fscore >= sf * rr.head && r.fscore <= sf * rr(1)
+                  }
+              }
+            }
+          }
+        verifyFeaturePhase(it.toVector, stackLim, proximitySet, filtersActive,
+          typeAllowedA).iterator
+      }.toDF().localCheckpoint()
       stats.foreach(_.counts("verifymatch") = ck.count())
       ck
     }
@@ -1213,14 +1386,17 @@ object Forward {
       col("interpolated"), col("omitted"), lit(0).as("pos"),
       col("matchingText"), col("overrides"), col("langOk"),
       col("routablePoints"), col("langTexts"),
-      lit("").as("ctyp"), lit(0).as("corder"), col("leadTypes").as("allTypes"))
+      lit("").as("ctyp"), lit(0).as("corder"), col("leadTypes").as("allTypes"),
+      col("vorder"), col("cpos"))
 
     // cover rows (kind 0); the pos==0 cover takes the street-fallback
     // penalty when its address number failed to resolve
+    // inner join against the VERIFIED positions: covers travel to the
+    // re-rank only for candidates the feature phase kept
     val penalties = leadOut.select(col("query_id"), col("position"),
       col("addrPenalty"))
-    val coverRows = exploded
-      .join(penalties, Seq("query_id", "position"), "left")
+    val coverRows = exploded.where(col("position") >= 1)
+      .join(penalties, Seq("query_id", "position"), "inner")
       .select(col("query_id"), col("position"),
       lit(0).as("kind"), col("tmpid"), col("idx"), col("mask"),
       when(col("pos") === 0 && coalesce(col("addrPenalty"), lit(false)),
@@ -1236,7 +1412,28 @@ object Forward {
       lit("").as("routablePoints"),
       map().cast("map<string,string>").as("langTexts"),
       lit("").as("ctyp"), lit(0).as("corder"),
-      lit(array()).cast("array<string>").as("allTypes"))
+      lit(array()).cast("array<string>").as("allTypes"),
+      lit(0).as("vorder"), lit(0).as("cpos"))
+
+    // loose-sets rows (kind 3): the rank-0 best-cover-per-tmpid list —
+    // the reference's matched.sets, consumed by the loose verify pass
+    val setsRows = exploded.where(col("position") === 0)
+      .select(col("query_id"), col("position"),
+      lit(3).as("kind"), col("tmpid"), col("idx"), col("mask"),
+      col("relev"), col("text"), col("zoom"), col("smRelev"),
+      col("scoredist"),
+      lit(-1L).as("featureId"), lit(0.0).as("lon"), lit(0.0).as("lat"),
+      lit("").as("display"), lit("").as("number"),
+      lit("").as("fullText"), lit(0.0).as("fscore"),
+      lit(-1).as("addressPos"), lit(false).as("fromCluster"),
+      lit(false).as("interpolated"), lit(false).as("omitted"),
+      col("pos"), lit("").as("matchingText"),
+      map().cast("map<string,string>").as("overrides"), lit(true).as("langOk"),
+      lit("").as("routablePoints"),
+      map().cast("map<string,string>").as("langTexts"),
+      lit("").as("ctyp"), lit(0).as("corder"),
+      lit(array()).cast("array<string>").as("allTypes"),
+      lit(0).as("vorder"), lit(0).as("cpos"))
 
     // context rows (kind 1): reverse-lookup of the lead center in every
     // layer coarser than the lead's name-group firstidx (maxidx,
@@ -1315,14 +1512,15 @@ object Forward {
           coalesce(col("lang_texts"),
             map().cast("map<string,string>")).as("langTexts"),
           col("ctyp"), col("corder"),
-          lit(array()).cast("array<string>").as("allTypes"))
+          lit(array()).cast("array<string>").as("allTypes"),
+          lit(0).as("vorder"), lit(0).as("cpos"))
 
     val tagged = coverRows.unionByName(leadRows).unionByName(contextRows)
+      .unionByName(setsRows)
       .as[VRowT]
 
     // hard cap 10 (reference geocode.js:340)
     val limit = math.min(opts.limit, 10)
-    val typesB = opts.types
     val finals = tagged.groupByKey(_.query_id).flatMapGroups { (qid, it) =>
       val (cfgs, ndxs) = cfgBc.value
       // idx-keyed config lookups, built once per query group (not
@@ -1339,12 +1537,10 @@ object Forward {
           (c.geocoderInheritScore, c.geocoderGrantScore, c.geocoderIgnoreOrder) }
           .getOrElse((false, true, false))
       val rows = it.toVector
-      val byPos = rows.groupBy(_.position)
-      // peer leads across positions (override:{type} peer bump,
-      // verifymatch.js:617-631)
-      val peerList: Vector[(String, String)] = byPos.values
-        .flatMap(_.find(_.kind == 2))
-        .map(l => (typFmtOf(l.idx)._1, l.fullText)).toVector
+      // loose sets (kind 3): best cover per tmpid over ALL spatialmatches
+      val setsCovers = rows.filter(_.kind == 3).map(r =>
+        VerifyRank.VCover(r.tmpid, r.idx, r.mask, r.relev, r.text, r.zoom))
+      val byPos = rows.filter(_.kind != 3).groupBy(_.position)
       val vresults = byPos.toVector.sortBy(_._1).flatMap { case (posn, rs) =>
         // spatialmatch cover order (pos) — covers.head is the lead cover
         val covers = rs.filter(_.kind == 0).sortBy(_.pos).map(r =>
@@ -1353,9 +1549,10 @@ object Forward {
         leadOpt.map { lead =>
           // override:{type} substitution (verifymatch.js:597-631): the lead's
           // override prop replaces a context element's text; the replaced
-          // element no longer matches any cover (no tmpid), and each peer
-          // lead already carrying the override text earns a loose-relev bump
-          var bumps = 0
+          // element no longer matches any cover (no tmpid). The CHUNK-scoped
+          // peer bumps are resolved inside VerifyRank.rankChunk from the
+          // applied (type, override) list collected here.
+          val applied = Vector.newBuilder[(String, String)]
           // R8: context order is the stackFeatures claim order (corder),
           // fine->coarse, not plain idx order (shifting can reorder)
           val ctx: Vector[(VRowT, Boolean)] =
@@ -1364,7 +1561,7 @@ object Forward {
               val typ = typFmtOf(r.idx)._1
               lead.overrides.get(typ) match {
                 case Some(ov) if r.fullText != ov =>
-                  bumps += peerList.count(p => p._1 == typ && p._2 == ov)
+                  applied += ((typ, ov))
                   (r.copy(display = ov.split(",")(0).trim, fullText = ov,
                     fscore = 0.0, featureId = lead.featureId), true)
                 case _ => (r, false)
@@ -1413,61 +1610,71 @@ object Forward {
                 s"${ctxTyp(r)}.${r.featureId}" }
               Some("_" + (coverTexts +: ctxIds).mkString(":"))
             } else None
+          // chunk ghost-dedupe text: the language-selected full text
+          // (verifymatch.js:662-665)
+          val dedupeText =
+            if (language.isEmpty || lead.langTexts.isEmpty) lead.fullText
+            else ClosestLang.closestLangLabel(
+                language.get.replace("-", "_"),
+                lead.langTexts.keys.toVector.sorted)
+              .flatMap(lead.langTexts.get).getOrElse(lead.fullText)
           (VerifyRank.VResult(posn, lead.smRelev, lead.scoredist,
             covers.toVector, context, lead.featureId, ndxOf(lead.idx),
             addressNull = lead.number.isEmpty,
             ghost = lead.fscore < 0,
             hasAddress = lead.number.nonEmpty, addressPos = lead.addressPos,
             fromCluster = lead.fromCluster, interpolated = lead.interpolated,
-            omitted = lead.omitted, looseBumps = bumps),
+            omitted = lead.omitted, appliedOverrides = applied.result(),
+            leadType = typFmtOf(lead.idx)._1, leadScore = lead.fscore,
+            dedupeText = dedupeText, sortPos = lead.cpos),
             Meta(placeName, lead.featureId, lead.lon, lead.lat, lead.idx,
               lead.number, lead.omitted, lead.interpolated, addrKey,
               lead.matchingText, lead.fullText, lead.fscore, lead.langOk,
               lead.routablePoints,
               if (lead.allTypes.nonEmpty) lead.allTypes else
-                Seq(typFmtOf(lead.idx)._1)))
+                Seq(typFmtOf(lead.idx)._1)),
+            lead.vorder)
         }
       }
-      val meta = vresults.map { case (vr, m) => vr.position -> m }.toMap
-      val ranked0 = VerifyRank.rank(vresults.map(_._1), proximity.isDefined)
-      // ghost-text dedupe (verifymatch.js:659-672): drop negative-score
-      // results whose text duplicates a better non-ghost result's text
-      val ghostSeen = scala.collection.mutable.HashSet.empty[String]
-      val ranked = ranked0.filter { v =>
-        val m = meta(v.position)
-        val keep = m.leadScore >= 0 || !ghostSeen.contains(m.leadText)
-        if (m.leadScore >= 0) ghostSeen += m.leadText
-        keep
+      val meta = vresults.map { case (vr, m, _) => vr.position -> m }.toMap
+      // V14 context-phase chunk machine (verifymatch.js:56-66, 264-331):
+      // chunks of limitVerify in verified order through the chunk-scoped
+      // verifyContexts, accumulating until limitVerify good contexts or
+      // MAX_CONTEXTS_LIMIT results, then the final sortContext + slice +
+      // relevance clamp
+      val ordered = vresults.sortBy(_._3)
+      val loose = VerifyRank.looseSets(setsCovers)
+      var acc = Vector.empty[(VerifyRank.Verified, Double)]
+      var good = 0
+      var batch = ordered.take(limitVerify)
+      var backfill = ordered.drop(limitVerify)
+      var ctxDone = batch.isEmpty
+      while (!ctxDone) {
+        val chunkOut = VerifyRank.rankChunk(batch.map(_._1), loose,
+          proximity.isDefined)
+        acc ++= chunkOut
+        if (backfill.isEmpty) ctxDone = true
+        else {
+          good += chunkOut.count(p => p._1.relevance >= p._1.smRelev)
+          if (good <= limitVerify && acc.length < MaxContextsLimit) {
+            batch = backfill.take(limitVerify)
+            backfill = backfill.drop(limitVerify)
+          } else ctxDone = true
+        }
       }
+      // the verifymatch result: final sortContext, limit_verify slice,
+      // relevance clamp (verifymatch.js:292-297); the ghost-text dedupe
+      // already ran per chunk inside rankChunk, and featureAllowed /
+      // languageMode=strict filtering ran in the feature phase
+      val ranked = VerifyRank.sortAll(acc).take(limitVerify)
+        .map { case (v, _) => v.copy(relevance = math.min(v.relevance, 1.0)) }
       // O2 dedupe with preference (format-features.js:267-299): dedupe by
       // place_name + address-unique key; an omitted/interpolated result is
       // replaced by a non-omitted/non-interpolated duplicate; a street
       // fallback never replaces a resolved address
-      // F3 featureAllowed (filter-sources.js:64-110): subtype score-range
-      // check and languageMode=strict verdict on the lead feature
-      def typeAllowed(m: Meta): Boolean =
-        typesB.isEmpty || {
-          // carmen:types MEMBERSHIP, not just the source type — multi-type
-          // features pass any of their types (filter-sources.js:80-110)
-          val types =
-            if (m.leadTypes.nonEmpty) m.leadTypes
-            else Seq(typFmtOf(m.leadIdx)._1)
-          typesB.exists { t =>
-            val parts = t.split("\\.", 2)
-            if (parts.length == 1) types.contains(t)
-            else types.contains(parts(0)) && cfgByIdx.get(m.leadIdx).exists {
-              case (name, c) =>
-                c.scoreranges.get(parts(1)).exists { r =>
-                  val sf = cfgs(name)._2
-                  m.leadScore >= sf * r.head && m.leadScore <= sf * r(1)
-                }
-            }
-          }
-        }
       val byKey = scala.collection.mutable.HashMap.empty[String, Int]
       val out = scala.collection.mutable.ArrayBuffer.empty[(VerifyRank.Verified, Meta)]
-      ranked.filter(v => { val m = meta(v.position); m.langOk && typeAllowed(m) })
-        .foreach { v =>
+      ranked.foreach { v =>
         val m = meta(v.position)
         val keys = m.placeName +: m.addrKey.toVector
         keys.iterator.flatMap(byKey.get(_)).nextOption() match {

@@ -9,8 +9,12 @@ import graft.core.JsNum
   * strict/loose relevance accumulation over mask-disjoint matches, the
   * "backy" direction penalty (x0.5), near-alignment half credit
   * ("closeButNoCigar"), and the direction bonus vs geocoder_address_order.
-  * Squishy score inheritance hooks exist but stay inert until layers set
-  * geocoder_inherit_score.
+  *
+  * [[rankChunk]] processes ONE verify chunk of at most limit_verify results
+  * with chunk-scoped peers (V14, verifymatch.js:574-672): squishy score
+  * inheritance and override:{type} peer bumps only see the chunk's own
+  * verified leads, the loose `sets` map is mutated by the bumps (persisting
+  * into later chunks), and the ghost-text dedupe runs per chunk.
   */
 object VerifyRank {
 
@@ -49,6 +53,12 @@ object VerifyRank {
 
   /** One spatialmatch result awaiting verification. The address flags feed
     * the full sortContext tie-break chain (V12).
+    *
+    * `appliedOverrides` lists the override:{type} substitutions this
+    * result's context took — the matching-peer bump count is resolved per
+    * chunk in [[rankChunk]] (verifymatch.js:617-631). `leadType` is the
+    * lead's SOURCE index type (peer matching keys on it), `dedupeText` the
+    * language-selected full text for the chunk ghost dedupe.
     */
   final case class VResult(position: Int, smRelev: Double, scoredist: Double,
                            covers: Vector[VCover], context: Vector[VCtx],
@@ -59,26 +69,40 @@ object VerifyRank {
                            fromCluster: Boolean = false,
                            interpolated: Boolean = false,
                            omitted: Boolean = false,
-                           // override:{type} peer bumps: each adds
-                           // 1/MAX_QUERY_TOKENS to this result's loose cover
-                           // relev, clamped at 1 (verifymatch.js:617-631)
-                           looseBumps: Int = 0)
+                           appliedOverrides: Vector[(String, String)] = Vector.empty,
+                           leadType: String = "",
+                           leadScore: Double = 0.0,
+                           dedupeText: String = "",
+                           // the reference's carmen:position (verify load
+                           // order; may repeat across chunks) — the
+                           // sortContext position key, while `position`
+                           // stays the unique result identity
+                           sortPos: Int = 0)
 
   final case class Verified(position: Int, relevance: Double, scoredist: Double,
                             typeindex: Int, leadFeatureId: Long,
                             hasAddress: Boolean = false, addressPos: Int = -1,
                             fromCluster: Boolean = false,
                             interpolated: Boolean = false,
-                            omitted: Boolean = false)
+                            omitted: Boolean = false,
+                            // spatialmatch relev: countGoodContexts compares
+                            // the verified relevance against it
+                            smRelev: Double = 0.0,
+                            // carmen:position (sortContext key)
+                            sortPos: Int = 0)
 
   /** verifyContext (reference verifymatch.js:749-977). `strict` are this
     * result's own covers; `loose` the best cover per tmpid across all
-    * results (pass empty for the strict-only invocation).
+    * spatialmatches (pass empty for the strict-only invocation);
+    * `peerScores` the chunk's verified leads by tmpid — squishy score
+    * inheritance only credits context elements that are themselves chunk
+    * peers, using the peer's REAL loaded score (verifymatch.js:867-876).
     */
   def verifyContext(context: Vector[VCtx], strict: Map[Long, VCover],
                     loose: Map[Long, VCover],
-                    addressOrder: String = "ascending"): Double =
-    verifyContextSquishy(context, strict, loose, addressOrder)._1
+                    addressOrder: String = "ascending",
+                    peerScores: Map[Long, Double] = Map.empty): Double =
+    verifyContextSquishy(context, strict, loose, addressOrder, peerScores)._1
 
   /** verifyContext returning (relevance, squishy score bonus) — squishy
     * score inheritance for same-named nested features
@@ -86,7 +110,8 @@ object VerifyRank {
     */
   def verifyContextSquishy(context: Vector[VCtx], strict: Map[Long, VCover],
                            loose: Map[Long, VCover],
-                           addressOrder: String = "ascending"): (Double, Double) = {
+                           addressOrder: String = "ascending",
+                           peerScores: Map[Long, Double] = Map.empty): (Double, Double) = {
     var usedmask = 0
     var closemask = 0
     var lastmask = -1
@@ -134,11 +159,13 @@ object VerifyRank {
       }
 
       if (!skip) {
-        // SQUISHY (verifymatch.js:813-822)
+        // SQUISHY (verifymatch.js:865-876): the same-named nested element
+        // must be a verified CHUNK PEER; its real loaded score is inherited
         if (squishyTarget.isDefined && c > 0 && feat.grantScore &&
+          peerScores.contains(feat.tmpid) &&
           textAlikeCtx(squishyTarget.get, feat))
-          squishy += math.max(feat.score, 0.0)
-        // CONTEXT SQUISHY target (verifymatch.js:824-838)
+          squishy += math.max(peerScores(feat.tmpid), 0.0)
+        // CONTEXT SQUISHY target (verifymatch.js:878-894)
         if (contextSquishyTarget.isEmpty && c > 0 && feat.inheritScore &&
           !closeButNoCigar)
           contextSquishyTarget = Some(feat)
@@ -185,34 +212,71 @@ object VerifyRank {
     (math.max(relevance, 0.0), squishy)
   }
 
-  /** verifyContexts: strict + loose passes, 6-dp rounding, drop relev 0,
-    * sortContext ordering, dedupe by identical display text.
+  /** Build the loose `sets` map — best cover per tmpid (spatialmatch.js:64-68).
+    * The caller passes covers from ALL spatialmatch results (the reference's
+    * matched.sets), not just the verified slice.
     */
-  def rank(results: Vector[VResult], proximitySet: Boolean = false): Vector[Verified] = {
-    // loose sets: best cover per tmpid across all results (spatialmatch.js:64-68)
+  def looseSets(covers: Iterable[VCover]): mutable.HashMap[Long, VCover] = {
     val sets = mutable.HashMap.empty[Long, VCover]
-    for (r <- results; cv <- r.covers) {
+    for (cv <- covers) {
       val cur = sets.get(cv.tmpid)
       if (cur.isEmpty || cur.get.relev < cv.relev) sets(cv.tmpid) = cv
     }
-    // override:{type} peer bumps on the shared loose set
-    // (verifymatch.js:617-631; applied up front rather than interleaved)
-    for (r <- results if r.looseBumps > 0; lead <- r.context.headOption;
-         cv <- sets.get(lead.tmpid)) {
-      var relev = cv.relev
-      var i = 0
-      while (i < r.looseBumps) {
-        relev = math.min(relev + 1.0 / 20, 1.0)
-        i += 1
-      }
-      sets(lead.tmpid) = cv.copy(relev = relev)
-    }
-    val loose = sets.toMap
+    sets
+  }
 
-    val verified = results.flatMap { r =>
+  /** One verifyContexts chunk (reference verifymatch.js:574-672, called per
+    * batch of at most limit_verify results by verifyContextChunk):
+    *
+    *  - peers map from the CHUNK's verified leads only;
+    *  - per result, in chunk order: override:{type} peer bumps mutate the
+    *    shared `loose` sets (each matching peer adds 1/MAX_QUERY_TOKENS to
+    *    the result's lead cover relev, clamped at 1 — the mutation persists
+    *    into later chunks), THEN the strict + loose verifyContext passes;
+    *  - 6-dp rounding, drop relevance 0;
+    *  - chunk sortContext sort;
+    *  - chunk-scoped ghost-text dedupe (scoredist < 0 results whose text
+    *    duplicates a better non-ghost result in the SAME chunk).
+    *
+    * Returns (verified, relev+scoredist composite) pairs in chunk-sorted
+    * order; the caller accumulates chunks and applies the final global
+    * sortContext + limit_verify slice.
+    */
+  def rankChunk(chunk: Vector[VResult],
+                loose: mutable.HashMap[Long, VCover],
+                proximitySet: Boolean = false): Vector[(Verified, Double)] = {
+    // chunk peers: tmpid -> (source type, full text, loaded score)
+    val peers: Vector[(Long, String, String, Double)] = chunk.flatMap { r =>
+      r.context.headOption.map(lead =>
+        (lead.tmpid, r.leadType, lead.fullText, r.leadScore))
+    }
+    val peerScores: Map[Long, Double] =
+      peers.map(p => (p._1, p._4)).toMap
+
+    val verified = chunk.flatMap { r =>
+      // override:{type} peer bumps BEFORE this result's own loose pass
+      // (verifymatch.js:607-631: the substitution loop precedes the
+      // verifyContext calls for the same context)
+      if (r.appliedOverrides.nonEmpty) {
+        for (lead <- r.context.headOption; (typ, ov) <- r.appliedOverrides) {
+          val bumps = peers.count(p => p._2 == typ && p._3 == ov)
+          if (bumps > 0) loose.get(lead.tmpid).foreach { cv =>
+            var relev = cv.relev
+            var i = 0
+            while (i < bumps) {
+              relev = math.min(relev + 1.0 / 20, 1.0) // 1/MAX_QUERY_TOKENS
+              i += 1
+            }
+            loose(lead.tmpid) = cv.copy(relev = relev)
+          }
+        }
+      }
       val strict = r.covers.map(c => c.tmpid -> c).toMap
-      val (strictRelev, sq1) = verifyContextSquishy(r.context, strict, Map.empty)
-      val (looseRelev, sq2) = verifyContextSquishy(r.context, strict, loose)
+      val looseNow = loose.toMap
+      val (strictRelev, sq1) =
+        verifyContextSquishy(r.context, strict, Map.empty, peerScores = peerScores)
+      val (looseRelev, sq2) =
+        verifyContextSquishy(r.context, strict, looseNow, peerScores = peerScores)
       val squishy = math.max(sq1, sq2)
       val relevance = JsNum.roundTo(math.max(strictRelev, looseRelev), 6)
       // X9: proximity searches sort by the relev+scoredist composite before
@@ -228,31 +292,51 @@ object VerifyRank {
       if (relevance > 0)
         Some((Verified(r.position, relevance, scoredist, r.leadNdx,
           r.leadFeatureId, r.hasAddress, r.addressPos, r.fromCluster,
-          r.interpolated, r.omitted), composite))
+          r.interpolated, r.omitted, r.smRelev, r.sortPos), composite,
+          r.dedupeText, r.ghost))
       else None
     }
 
-    // full sortContext chain (reference verifymatch.js:1003-1053):
-    // relevance, relev+scoredist composite, omitted, scoredist, typeindex,
-    // then for address pairs: query position of the number, cluster over
-    // ITP, non-interpolated; finally spatialmatch position and id. (The
-    // reference defers the omitted check past scoredist when the two
-    // results differ in carmen:inside_radius; inside_radius is only set on
-    // proximity radius searches, which this engine folds into scoredist.)
-    verified.sortWith { case ((a, ac), (b, bc)) =>
-      if (a.relevance != b.relevance) a.relevance > b.relevance
-      else if (ac != bc) ac > bc
-      else if (a.omitted != b.omitted) !a.omitted
-      else if (a.scoredist != b.scoredist) a.scoredist > b.scoredist
-      else if (a.typeindex != b.typeindex) a.typeindex < b.typeindex
-      else if (a.hasAddress && b.hasAddress && a.addressPos != b.addressPos)
-        a.addressPos < b.addressPos
-      else if (a.hasAddress && b.hasAddress && a.fromCluster != b.fromCluster)
-        a.fromCluster
-      else if (a.hasAddress && b.hasAddress && a.interpolated != b.interpolated)
-        !a.interpolated
-      else if (a.position != b.position) a.position < b.position
-      else a.leadFeatureId < b.leadFeatureId
-    }.map(_._1)
+    val sorted = verified.sortWith { case ((a, ac, _, _), (b, bc, _, _)) =>
+      sortContextLt(a, ac, b, bc) }
+    // chunk ghost dedupe (verifymatch.js:659-672): keyed on scoredist >= 0
+    // and the language-selected full text, within this chunk only
+    val byText = mutable.HashSet.empty[String]
+    sorted.flatMap { case (v, c, text, ghost) =>
+      val nonGhost = !ghost
+      if (nonGhost || !byText.contains(text)) {
+        if (nonGhost) byText += text
+        Some((v, c))
+      } else None
+    }
   }
+
+  /** sortContext "a before b" (reference verifymatch.js:1003-1053):
+    * relevance, relev+scoredist composite, omitted, scoredist, typeindex,
+    * then for address pairs: query position of the number, cluster over
+    * ITP, non-interpolated; finally spatialmatch position and id. (The
+    * reference defers the omitted check past scoredist when the two
+    * results differ in carmen:inside_radius; inside_radius is only set on
+    * proximity radius searches, which this engine folds into scoredist.)
+    */
+  def sortContextLt(a: Verified, ac: Double, b: Verified, bc: Double): Boolean =
+    if (a.relevance != b.relevance) a.relevance > b.relevance
+    else if (ac != bc) ac > bc
+    else if (a.omitted != b.omitted) !a.omitted
+    else if (a.scoredist != b.scoredist) a.scoredist > b.scoredist
+    else if (a.typeindex != b.typeindex) a.typeindex < b.typeindex
+    else if (a.hasAddress && b.hasAddress && a.addressPos != b.addressPos)
+      a.addressPos < b.addressPos
+    else if (a.hasAddress && b.hasAddress && a.fromCluster != b.fromCluster)
+      a.fromCluster
+    else if (a.hasAddress && b.hasAddress && a.interpolated != b.interpolated)
+      !a.interpolated
+    else if (a.sortPos != b.sortPos) a.sortPos < b.sortPos
+    else a.leadFeatureId < b.leadFeatureId
+
+  /** Final cross-chunk sort (sortContext over the accumulated results,
+    * verifymatch.js:292-297).
+    */
+  def sortAll(results: Vector[(Verified, Double)]): Vector[(Verified, Double)] =
+    results.sortWith { case ((a, ac), (b, bc)) => sortContextLt(a, ac, b, bc) }
 }
