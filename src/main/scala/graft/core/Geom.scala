@@ -190,9 +190,33 @@ object Geom {
     inside
   }
 
+  /** A point exactly on a ring edge or vertex counts as contained: vector
+    * tiles snap geometry to integer tile units, so vtquery's direct-hit
+    * test is boundary-inclusive — observable in the reference acceptance
+    * fixtures whose carmen:center sits on a tile-box corner
+    * (e.g. geocode-unit.stacky.test.js center [0,0] on tile 6/32/32).
+    */
+  private def onRingEdge(rings: Vector[Vector[Pt]], lon: Double,
+                         lat: Double): Boolean = {
+    val eps2 = 1e-18
+    var r = 0
+    while (r < rings.length) {
+      val ring = rings(r)
+      var i = 0
+      while (i < ring.length - 1) {
+        val (ax, ay) = ring(i)
+        val (bx, by) = ring(i + 1)
+        if (nearestOnSegment(lon, lat, ax, ay, bx, by)._3 <= eps2) return true
+        i += 1
+      }
+      r += 1
+    }
+    false
+  }
+
   def contains(g: Geom, lon: Double, lat: Double): Boolean = g match {
-    case Polygon(rs)      => pipRaycast(rs, lon, lat)
-    case MultiPolygon(ps) => ps.exists(pipRaycast(_, lon, lat))
+    case Polygon(rs)      => pipRaycast(rs, lon, lat) || onRingEdge(rs, lon, lat)
+    case MultiPolygon(ps) => ps.exists(p => pipRaycast(p, lon, lat) || onRingEdge(p, lon, lat))
     case Collection(gs)   => gs.exists(contains(_, lon, lat))
     case _                => false
   }
@@ -260,7 +284,7 @@ object Geom {
         .map { case (x, y) => Mercator.haversineMiles(lon, lat, x, y) }
         .getOrElse(Double.MaxValue)
     case Polygon(rs) =>
-      if (pipRaycast(rs, lon, lat)) 0.0
+      if (pipRaycast(rs, lon, lat) || onRingEdge(rs, lon, lat)) 0.0
       else rs.flatten.map { case (x, y) => Mercator.haversineMiles(lon, lat, x, y) }.min
     case MultiPolygon(ps) => ps.map(p => distanceMiles(Polygon(p), lon, lat)).min
     case Collection(gs)   => gs.map(distanceMiles(_, lon, lat)).min

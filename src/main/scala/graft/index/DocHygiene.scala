@@ -36,6 +36,13 @@ object DocHygiene {
     }
     if (vertices > MaxVertices)
       return Some(s"doc's polygon on id:${doc.id} has $vertices vertices, exceeding $MaxVertices")
+    // carmen:text_{lang} keys must be valid language codes
+    // (reference termops.js:400-404)
+    for (code <- doc.langTexts.keys) {
+      val lang = code.replace("-", "_")
+      if (lang != "universal" && !graft.core.ClosestLang.hasLanguage(lang))
+        return Some(s"$code is an invalid language code")
+    }
     None
   }
 
@@ -274,7 +281,11 @@ object DocHygiene {
     * rewind (I2), then validation (I1), then addrTransform (I18).
     * Left = rejection with the reference's error string.
     */
-  def standardizeDoc(doc: GeoDoc): Either[String, GeoDoc] = {
+  def standardizeDoc(doc0: GeoDoc): Either[String, GeoDoc] = {
+    // carmen:text* whitespace trim (reference feature normalization —
+    // observable in geocode-unit.text-trim.test.js)
+    val doc = doc0.copy(text = if (doc0.text == null) doc0.text else doc0.text.trim,
+      langTexts = doc0.langTexts.map { case (k, v) => k -> v.trim })
     val rewound = try {
       Geom.fromJson(doc.geometry) match {
         case p: Geom.Polygon => doc.copy(geometry = Geom.toJson(rewind(p)))

@@ -67,7 +67,11 @@ object IndexBuilder {
           col("center_lon").as("f_lon"), col("center_lat").as("f_lat"),
           col("geom_bin"), col("geom_type"), col("langTexts"),
           col("types"), lit(l.config.conflictKey).as("conflict"))
-      }.reduce(_ unionByName _).cache()
+      }.reduce(_ unionByName _)
+        // localCheckpoint, not cache: a many-source config (the reference
+        // supports 128) makes the union lineage itself tens of MB per task
+        // binary; truncating it keeps reverse/context task dispatch O(rows)
+        .localCheckpoint()
     /** Worldviews configured across layers ("default" first). */
     lazy val worldviews: Vector[String] = {
       val declared = layers.map(_.config.worldview).filter(_.nonEmpty).distinct
@@ -156,8 +160,25 @@ object IndexBuilder {
   private val geomTypeUdf = udf((geojson: String) =>
     Geom.fromJson(geojson).typeName)
 
-  def build(spark: SparkSession, layers: Seq[(LayerConfig, Dataset[GeoDoc])]): CarmenIndex = {
+  /** Bounds-mask derivation (reference index.js:325-341): layers whose
+    * geocoder_stack sets are disjoint can never spatialmatch together, so
+    * each stacked layer masks out every other stacked layer it shares no
+    * stack member with. Explicit nonOverlapping entries are kept.
+    */
+  def deriveNonOverlapping(configs: Seq[LayerConfig]): Seq[LayerConfig] =
+    configs.map { a =>
+      if (a.stack.isEmpty) a
+      else {
+        val mask = configs.filter(b => b.stack.nonEmpty &&
+          !b.stack.exists(a.stack.contains)).map(_.idx).toSet
+        a.copy(nonOverlapping = a.nonOverlapping ++ mask)
+      }
+    }
+
+  def build(spark: SparkSession, layers0: Seq[(LayerConfig, Dataset[GeoDoc])]): CarmenIndex = {
     import spark.implicits._
+    val cfgs2 = deriveNonOverlapping(layers0.map(_._1))
+    val layers = layers0.zip(cfgs2).map { case ((_, d), c) => (c, d) }
     val built = layers.map { case (cfg, docs0) =>
       val replBc = spark.sparkContext.broadcast(replacersFor(cfg))
       // 1a. standardize front half (I2 rewind -> I1 validate -> I18
@@ -225,7 +246,10 @@ object IndexBuilder {
         .collect().map(r => (r.getString(0), r.getLong(1)))
       val defaultCount =
         if (freqRows.length >= VocabCap) freqRows.map(_._2).min else 1L
-      val maxScore = withCovers.agg(max(col("score"))).as[Double].head()
+      val maxScore =
+        if (cfg.maxscore >= 0) cfg.maxscore
+        else withCovers.agg(coalesce(max(col("score")), lit(0.0)))
+          .as[Double].head()
       val freq = Phrases.Freq(freqRows.toMap, total, maxScore, defaultCount)
       val freqBc = spark.sparkContext.broadcast(freq)
 

@@ -30,10 +30,16 @@ final case class LayerConfig(
     scoreranges: Map[String, Seq[Double]] = Map.empty, // subtype -> [lo, hi] fractions
 
     geocoderFormat: String = "",         // geocoder_format template
+    // geocoder_format_{lang} templates (reference geocode-unit.multilanguage:
+    // per-language place_name assembly order)
+    geocoderFormats: Map[String, String] = Map.empty,
     geocoderInheritScore: Boolean = false, // geocoder_inherit_score
     geocoderGrantScore: Boolean = true,    // geocoder_grant_score
     geocoderIgnoreOrder: Boolean = false,  // geocoder_ignore_order
     geocoderRoutable: Boolean = false,     // geocoder_routable
+    // geocoder_address_order: expected query hierarchy direction for the
+    // +-0.01 direction bonus (reference verifymatch.js:748, jp-order)
+    geocoderAddressOrder: String = "ascending",
     bounds: Seq[Double] = Seq(-180, -85, 180, 85), // source bounds [W,S,E,N]
     // geocoder_types: multi-type sources ("region" source that can also
     // stack as "place"); empty = [typ] (reference index.js:292-295)
@@ -50,7 +56,12 @@ final case class LayerConfig(
     // geocoder_name when it differs from the unique source name: worldview
     // variants of one logical layer share a geocoder_name ("country") under
     // distinct source names ("country_wv_us"); "" = name
-    geocoderName: String = ""
+    geocoderName: String = "",
+    // declared source-meta score bounds (reference index.js meta maxscore/
+    // minscore): when maxscore is >= 0 it overrides the derived layer max
+    // for the 3-bit scale factor and the geocoder-wide scoreWeight range
+    maxscore: Double = -1.0,
+    minscore: Double = 0.0
 ) {
   /** Effective geocoder_name (reference byname grouping). */
   def gname: String = if (geocoderName.nonEmpty) geocoderName else name

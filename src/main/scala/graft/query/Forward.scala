@@ -60,7 +60,10 @@ object Forward {
       stacks: Seq[String] = Nil,                      // F2 country-stack filter
       bbox: Option[(Double, Double, Double, Double)] = None, // F4/F5 (W,S,E,N)
       routing: Boolean = false,                       // V9 routable points
-      worldview: String = ""                          // "" = first configured
+      worldview: String = "",                         // "" = first configured
+      // max_correction_length (geocode.js:59, constants.js:22): queries
+      // longer than this many tokens get no fuzzy edit budget
+      maxCorrectionLength: Int = 8
   )
 
   /** F1 option validation with the reference's error messages
@@ -88,9 +91,17 @@ object Forward {
       if (lat.isNaN || lat < -90 || lat > 90)
         return Some("Proximity lat value must be a number between -90 and 90")
     }
-    for (l <- opts.language)
-      if (!ClosestLang.hasLanguage(l.replace("-", "_")))
-        return Some(s"'$l' is not a valid language code")
+    for (l0 <- opts.language) {
+      // comma-separated request list (reference geocode.js:103-124)
+      val langs = l0.split(",").map(_.trim).filter(_.nonEmpty)
+      if (langs.length > 20)
+        return Some("options.language should be a list of no more than 20 languages")
+      if (langs.distinct.length != langs.length)
+        return Some("options.language should be a list of unique language codes")
+      for (l <- langs)
+        if (!ClosestLang.hasLanguage(l.replace("-", "_")))
+          return Some(s"'$l' is not a valid language code")
+    }
     if (opts.languageMode.nonEmpty && opts.languageMode != "strict")
       return Some(s"'${opts.languageMode}' is not a valid language mode")
     for ((w, s, e, n) <- opts.bbox) {
@@ -136,7 +147,10 @@ object Forward {
                         // the query ends in a separator or a replaced last
                         // word, so ender windows only prefix-match at WHOLE
                         // WORD boundaries
-                        wordBoundary: Boolean = false)
+                        wordBoundary: Boolean = false,
+                        // query under max_correction_length: fuzzy matching
+                        // may spend an edit on this window
+                        fuzzyOk: Boolean = true)
 
   /** One decoded posting grid (numeric payload of a phrase match). */
   final case class GridLite(relev: Double, score3: Int, id24: Long,
@@ -208,7 +222,8 @@ object Forward {
                             feature_id: Long, center_lon: Double,
                             center_lat: Double, lead_idx: Int,
                             matching_text: String, routable_points: String,
-                            place_type: String)
+                            place_type: String,
+                            place_names: Map[String, String] = Map.empty)
 
   /** One query-side text-processing group: layers sharing geocoder_tokens /
     * address behavior share one enumerated-subquery set.
@@ -236,7 +251,10 @@ object Forward {
                         matchingText: String, leadText: String,
                         leadScore: Double, langOk: Boolean,
                         routablePoints: String,
-                        leadTypes: Seq[String] = Nil)
+                        leadTypes: Seq[String] = Nil,
+                        // lang -> place_name_{lang} for multi-language
+                        // requests (reference dynamic output keys)
+                        placeNames: Map[String, String] = Map.empty)
 
   /** T18 whitespace corrector (reference lib/util/whitespace.js): split
     * letters+digits fused tokens ("fake123" -> "fake 123") as a second
@@ -266,7 +284,8 @@ object Forward {
   def subqueries(spark: SparkSession, queries: DataFrame,
                  groups: Vector[QueryGroup],
                  proximityDefined: Boolean,
-                 fuzzyEnabled: Boolean = true): DataFrame = {
+                 fuzzyEnabled: Boolean = true,
+                 maxCorrectionLength: Int = 8): DataFrame = {
     import spark.implicits._
     val groupsBc = spark.sparkContext.broadcast(groups)
     queries.select(col("query_id").cast("long"), col("query").cast("string"))
@@ -281,7 +300,7 @@ object Forward {
             // plus — for address groups with fuzzy budget — ONE
             // whitespace-corrected hypothesis at initialDistance 1
             val maxDistance =
-              if (fuzzyEnabled && origLen <= 8 /* MAX_CORRECTION_LENGTH */) 1 else 0
+              if (fuzzyEnabled && origLen <= maxCorrectionLength) 1 else 0
             val hyps: Vector[(TokenizedQuery, Int)] =
               if (g.geocoderAddress && maxDistance > 0)
                 whitespaceCorrectQ(origQ) match {
@@ -388,7 +407,8 @@ object Forward {
                         p.addressNumber.getOrElse(
                           if (partial) tokens.head else ""),
                         partial, g.qsig, p.numberOrder.getOrElse(""), initDist,
-                        wordBoundary = wordBoundaryHyp)
+                        wordBoundary = wordBoundaryHyp,
+                        fuzzyOk = maxDistance > 0)
                     }
                   }
               }
@@ -470,6 +490,7 @@ object Forward {
                           language: Option[String],
                           languageMode: String,
                           routing: Boolean,
+                          globalMinScore: Double,
                           globalMaxScore: Double,
                           layerText: Map[Int, LayerTextInfo]): LeadOut = {
     val out = resolveLeadCore(r, proximity, language, languageMode, routing,
@@ -482,8 +503,13 @@ object Forward {
       case Some((plon, plat)) if out.featureId >= 0 && out.kind == 2 =>
         val dist = Proximity.distance(plon, plat, out.lon, out.lat,
           r.x, r.y, r.zoom)
-        out.copy(scoredist = Proximity.scoredist(out.fscore, 0.0,
+        out.copy(scoredist = Proximity.scoredist(out.fscore, globalMinScore,
           math.max(globalMaxScore, 1.01), dist, r.zoom))
+      case None if out.featureId >= 0 && out.kind == 2 =>
+        // without proximity the sort scoredist IS the feature score
+        // (verifymatch.js:519) — cross-index comparisons happen in raw
+        // score space, not the coalesce tile approximation
+        out.copy(scoredist = out.fscore)
       case _ => out
     }
   }
@@ -521,6 +547,10 @@ object Forward {
       overrides = r.fOverrides.collect {
         case (k, v) if k.startsWith("override:") && v.nonEmpty =>
           k.stripPrefix("override:") -> v
+        // per-feature carmen:format / carmen:format_{lang} templates ride
+        // through under a reserved "carmen:" prefix (format-override)
+        case (k, v) if (k == "format" || k.startsWith("format_")) && v.nonEmpty =>
+          ("carmen:" + k) -> v
       },
       langOk = langOk, langTexts = r.fLangTexts, leadTypes = r.fTypes,
       partial = r.partial)
@@ -666,6 +696,8 @@ object Forward {
         val eff = effRaw.collect {
           case (k, v) if k.startsWith("override:") && v.nonEmpty =>
             k.stripPrefix("override:") -> v
+          case (k, v) if (k == "format" || k.startsWith("format_")) && v.nonEmpty =>
+            ("carmen:" + k) -> v
         }
         // V9 routable points (reference lib/geocoder/routablepoint.js):
         // nearest point on the feature's line geometry to the resolved
@@ -776,7 +808,7 @@ object Forward {
     // previously cached plans (measured 10s -> 27s per call)
     val subs = timed(stats, "phrasematch") {
       subqueries(spark, queries, groups, opts.proximity.isDefined,
-        opts.fuzzy).localCheckpoint()
+        opts.fuzzy, opts.maxCorrectionLength).localCheckpoint()
     }
 
     // F4/F5: bbox in tile space at the max layer zoom; spatialmatch prunes
@@ -856,7 +888,7 @@ object Forward {
           // (reference fuzzyMatchMulti covers the numTokenized/intersection
           // batches too, phrasematch.js:183-296); partial-number searches
           // and whitespace-corrected hypotheses have spent the budget
-          .filter(s => !s.partial && s.editDist == 0)
+          .filter(s => !s.partial && s.editDist == 0 && s.fuzzyOk)
           .flatMap { s =>
             Fuzzy.phraseVariants(s.subquery).map(v =>
               FuzzVar(s.queryId, s.subquery, s.mask, s.ender, s.weight, s.qlen,
@@ -1294,7 +1326,7 @@ object Forward {
       coalesce(col("feature_id"), lit(-1L)).as("featureId"),
       coalesce(col("center_lon"), lit(0.0)).as("lon"),
       coalesce(col("center_lat"), lit(0.0)).as("lat"),
-      coalesce(substring_index(col("f_text"), ",", 1), lit("")).as("display"),
+      coalesce(trim(substring_index(col("f_text"), ",", 1)), lit("")).as("display"),
       coalesce(col("f_text"), lit("")).as("fFullText"),
       coalesce(col("f_score"), lit(0.0)).as("fScore"),
       coalesce(col("f_lang_texts"),
@@ -1328,13 +1360,23 @@ object Forward {
         l.config.geocoderRoutable)
     }.toMap
     val layerTextBc = spark.sparkContext.broadcast(layerText)
-    val language = opts.language
+    // primary display language = first of the request list; the full list
+    // drives the per-language place_name map (multilanguage surface)
+    val requestedLangs: Vector[String] =
+      opts.language.map(_.split(",").map(_.trim).toVector.filter(_.nonEmpty))
+        .getOrElse(Vector.empty)
+    val language = requestedLangs.headOption
     val languageMode = opts.languageMode
     val routing = opts.routing
     // geocoder-wide max score for the verify scoredist recompute
     // (reference geocoder.maxScore, index.js:343-345)
     val globalMaxScore =
       if (index.layers.isEmpty) 1.0 else index.layers.map(_.scorefactor).max
+    // geocoder-wide min score (reference geocoder.minScore: min of source
+    // meta minscore values, default 0)
+    val globalMinScore =
+      if (index.layers.isEmpty) 0.0
+      else index.layers.map(_.config.minscore).min
     // F3 featureAllowed (filter-sources.js:64-110) gates the verified set
     // only when type/stack/strict-language filters are active (the
     // reference's afterFeatureChunk condition, verifymatch.js:119-135)
@@ -1346,7 +1388,7 @@ object Forward {
     val leadOut = timed(stats, "verifymatch") {
       val resolved = leadRaw
         .map(r => resolveLead(r, proximity, language, languageMode, routing,
-          globalMaxScore, layerTextBc.value))
+          globalMinScore, globalMaxScore, layerTextBc.value))
       // V14: the feature-phase chunk machine replays per query over the
       // batch-loaded candidates, emitting only the verified leads (at most
       // stackLimit) that context fill + re-rank run on
@@ -1447,7 +1489,7 @@ object Forward {
         ("carmen:text" -> text) +: langTexts.toVector.sortBy(_._1)
           .map { case (k, v) => ("carmen:text_" + k, v) })._1)
     val ctxDisplay =
-      if (language.isEmpty) substring_index(col("text"), ",", 1)
+      if (language.isEmpty) trim(substring_index(col("text"), ",", 1))
       else langSelUdf(col("text"),
         coalesce(col("lang_texts"), map().cast("map<string,string>")))
     // matched sets: every verified cover tmpid of the query (the reference's
@@ -1597,7 +1639,51 @@ object Forward {
           val ctxFeats = FormatPlace.CtxFeat(leadTyp, lead.display, lead.number) +:
             ctx.map { case (r, _) =>
               FormatPlace.CtxFeat(ctxTyp(r), r.display, r.number) }.toVector
-          val placeName = FormatPlace.placeName(ctxFeats, typFmtOf(lead.idx)._2)
+          // template precedence (format-features.js getFormatString):
+          // feature carmen:format_{lang} > feature carmen:format >
+          // source geocoder_format_{lang} > source geocoder_format
+          def templateFor(lang: Option[String]): String = {
+            val featFormats = lead.overrides.collect {
+              case (k, v) if k.startsWith("carmen:format") =>
+                k.stripPrefix("carmen:format").stripPrefix("_") -> v
+            }
+            val layerCfg = cfgByIdx.get(lead.idx).map(_._2)
+            val layerFormats = layerCfg.map(_.geocoderFormats).getOrElse(Map.empty)
+            def langPick(m: Map[String, String]): Option[String] = lang.flatMap { l =>
+              ClosestLang.closestLangLabel(l.replace("-", "_"),
+                m.keys.filter(_.nonEmpty).toVector.sorted).flatMap(m.get)
+            }
+            // getFormatString guard (format-features.js:21-36): the source's
+            // language template applies only when some context member has
+            // text in (something close to) the queried language
+            val anyLangText = lang.exists { l =>
+              val ll = l.replace("-", "_")
+              (lead.langTexts +: ctx.map(_._1.langTexts)).exists(lts =>
+                ClosestLang.closestLangLabel(ll,
+                  lts.keys.toVector.sorted).isDefined)
+            }
+            langPick(featFormats).orElse(featFormats.get(""))
+              .orElse(if (anyLangText) langPick(layerFormats) else None)
+              .getOrElse(typFmtOf(lead.idx)._2)
+          }
+          val placeName = FormatPlace.placeName(ctxFeats, templateFor(language))
+          // multi-language request: place_name per requested language, each
+          // with language-selected member text and that language's template
+          val placeNames: Map[String, String] =
+            if (requestedLangs.size < 2) Map.empty
+            else {
+              def disp(fullText: String, lts: Map[String, String], lang: String): String =
+                ClosestLang.getText(Some(lang),
+                  ("carmen:text" -> fullText) +: lts.toVector.sortBy(_._1)
+                    .map { case (k, v) => ("carmen:text_" + k) -> v })._1
+              requestedLangs.map { lang =>
+                val feats = FormatPlace.CtxFeat(leadTyp,
+                  disp(lead.fullText, lead.langTexts, lang), lead.number) +:
+                  ctx.map { case (r, _) => FormatPlace.CtxFeat(ctxTyp(r),
+                    disp(r.fullText, r.langTexts, lang), r.number) }.toVector
+                lang -> FormatPlace.placeName(feats, templateFor(Some(lang)))
+              }.toMap
+            }
           // O2 address-unique dedupe key (format-features.js:320-374):
           // cover texts + context extids; skipped for short address queries
           // ("100 ma"-style autocomplete) to avoid over-deduping
@@ -1626,13 +1712,16 @@ object Forward {
             fromCluster = lead.fromCluster, interpolated = lead.interpolated,
             omitted = lead.omitted, appliedOverrides = applied.result(),
             leadType = typFmtOf(lead.idx)._1, leadScore = lead.fscore,
-            dedupeText = dedupeText, sortPos = lead.cpos),
+            dedupeText = dedupeText, sortPos = lead.cpos,
+            addressOrder = cfgByIdx.get(lead.idx)
+              .map(_._2.geocoderAddressOrder).getOrElse("ascending")),
             Meta(placeName, lead.featureId, lead.lon, lead.lat, lead.idx,
               lead.number, lead.omitted, lead.interpolated, addrKey,
               lead.matchingText, lead.fullText, lead.fscore, lead.langOk,
               lead.routablePoints,
               if (lead.allTypes.nonEmpty) lead.allTypes else
-                Seq(typFmtOf(lead.idx)._1)),
+                Seq(typFmtOf(lead.idx)._1),
+              placeNames = placeNames),
             lead.vorder)
         }
       }
@@ -1694,7 +1783,8 @@ object Forward {
         FinalRow(qid, i + 1, v.relevance, v.scoredist, m.placeName, m.fid,
           m.lon, m.lat, m.leadIdx, m.matchingText, m.routablePoints,
           if (m.leadTypes.nonEmpty) m.leadTypes.last
-          else typFmtOf(m.leadIdx)._1)
+          else typFmtOf(m.leadIdx)._1,
+          place_names = m.placeNames)
       }
     }
 
@@ -1702,7 +1792,7 @@ object Forward {
       .select(col("query_id"), col("rank"), col("relev"), col("scoredist"),
         col("place_name"), col("feature_id"), col("center_lon"),
         col("center_lat"), col("lead_idx"), col("matching_text"),
-        col("routable_points"), col("place_type"))
+        col("routable_points"), col("place_type"), col("place_names"))
       .orderBy(col("query_id"), col("rank"))
     stats match {
       case Some(st) if st.forceOutput =>

@@ -68,7 +68,10 @@ object Reverse {
       types: Seq[String] = Nil,         // result-type filter
       scoreFilter: Option[(Double, Double)] = None, // manual scoreranges window
       radiusMiles: Double = 0.0,
-      worldview: String = "")           // "" = first configured worldview
+      worldview: String = "",           // "" = first configured worldview
+      // O1 language-selected display text (closest-lang getText), applied
+      // per context member like the reference's format-features path
+      language: Option[String] = None)
 
   /** One reverse candidate out of the tile join (R4): rank `rnk` within its
     * (query, sub, layer) group by (distance, id) — the engine's vtquery
@@ -311,8 +314,13 @@ object Reverse {
     else (0 until math.min(math.max(opts.limit, 1), context.length)).map { i =>
       val suffix = context.drop(i)
       val lead = suffix.head
+      def display(c: CandRow): String =
+        graft.core.ClosestLang.getText(opts.language,
+          ("carmen:text" -> c.text) +:
+            c.langTexts.toVector.sortBy(_._1)
+              .map { case (k, v) => ("carmen:text_" + k) -> v })._1
       StackedRow(lead.cand.query_id,
-        suffix.map(s => s.cand.text.split(",")(0)).mkString(", "),
+        suffix.map(s => display(s.cand)).mkString(", "),
         lead.cand.feature_id, lead.cand.layer, lead.cand.center_lon,
         lead.cand.center_lat, rank = i + 1, typ = lead.claimedType)
     }.toVector

@@ -77,7 +77,9 @@ object VerifyRank {
                            // order; may repeat across chunks) — the
                            // sortContext position key, while `position`
                            // stays the unique result identity
-                           sortPos: Int = 0)
+                           sortPos: Int = 0,
+                           // lead layer's geocoder_address_order
+                           addressOrder: String = "ascending")
 
   final case class Verified(position: Int, relevance: Double, scoredist: Double,
                             typeindex: Int, leadFeatureId: Long,
@@ -274,9 +276,11 @@ object VerifyRank {
       val strict = r.covers.map(c => c.tmpid -> c).toMap
       val looseNow = loose.toMap
       val (strictRelev, sq1) =
-        verifyContextSquishy(r.context, strict, Map.empty, peerScores = peerScores)
+        verifyContextSquishy(r.context, strict, Map.empty, r.addressOrder,
+          peerScores = peerScores)
       val (looseRelev, sq2) =
-        verifyContextSquishy(r.context, strict, looseNow, peerScores = peerScores)
+        verifyContextSquishy(r.context, strict, looseNow, r.addressOrder,
+          peerScores = peerScores)
       val squishy = math.max(sq1, sq2)
       val relevance = JsNum.roundTo(math.max(strictRelev, looseRelev), 6)
       // X9: proximity searches sort by the relev+scoredist composite before
