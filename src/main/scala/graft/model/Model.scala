@@ -110,7 +110,11 @@ final case class GeoDoc(
     types: Seq[String] = Nil,
     // carmen:reverse_only: never a forward-geocode lead; still appears in
     // context and reverse results (reference verifymatch.js:472)
-    reverseOnly: Boolean = false
+    reverseOnly: Boolean = false,
+    // geometry.omitted: a degen-address feature whose geometry was dropped
+    // at index time; loses dedupe/sort ties to non-omitted duplicates
+    // (reference geocode-unit.duplicate-address.test.js)
+    omitted: Boolean = false
 )
 
 /** One phrase posting grid row (flattened gridstore entry). */

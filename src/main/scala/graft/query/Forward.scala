@@ -63,7 +63,9 @@ object Forward {
       worldview: String = "",                         // "" = first configured
       // max_correction_length (geocode.js:59, constants.js:22): queries
       // longer than this many tokens get no fuzzy edit budget
-      maxCorrectionLength: Int = 8
+      maxCorrectionLength: Int = 8,
+      // allow_dupes: skip the O2 place_name/address-unique dedupe
+      allowDupes: Boolean = false
   )
 
   /** F1 option validation with the reference's error messages
@@ -200,6 +202,9 @@ object Forward {
                          overrides: Map[String, String], langOk: Boolean,
                          routablePoints: String,
                          langTexts: Map[String, String],
+                         // matched-grid phrase hash (covers/sets rows; 0
+                         // elsewhere) for matching-text recovery
+                         phraseHash: Int,
                          // context claimed type + stack order (R8); lead
                          // carmen:types array (kind 2)
                          ctyp: String, corder: Int, allTypes: Seq[String],
@@ -223,7 +228,8 @@ object Forward {
                             center_lat: Double, lead_idx: Int,
                             matching_text: String, routable_points: String,
                             place_type: String,
-                            place_names: Map[String, String] = Map.empty)
+                            place_names: Map[String, String] = Map.empty,
+                            matching_place_name: String = "")
 
   /** One query-side text-processing group: layers sharing geocoder_tokens /
     * address behavior share one enumerated-subquery set.
@@ -254,7 +260,10 @@ object Forward {
                         leadTypes: Seq[String] = Nil,
                         // lang -> place_name_{lang} for multi-language
                         // requests (reference dynamic output keys)
-                        placeNames: Map[String, String] = Map.empty)
+                        placeNames: Map[String, String] = Map.empty,
+                        // matching_place_name ("" = none): place name over
+                        // each member's matched synonym
+                        matchingPlaceName: String = "")
 
   /** T18 whitespace corrector (reference lib/util/whitespace.js): split
     * letters+digits fused tokens ("fake123" -> "fake 123") as a second
@@ -434,7 +443,7 @@ object Forward {
       fParityl: Seq[Seq[String]], fParityr: Seq[Seq[String]],
       fIntersections: Seq[Seq[String]],
       addressLayer: Boolean, fTypes: Seq[String],
-      fReverseOnly: Boolean)
+      fReverseOnly: Boolean, fOmitted: Boolean)
 
   final case class LeadOut(
       query_id: Long, position: Int, kind: Int, tmpid: Long, idx: Int,
@@ -553,7 +562,7 @@ object Forward {
           ("carmen:" + k) -> v
       },
       langOk = langOk, langTexts = r.fLangTexts, leadTypes = r.fTypes,
-      partial = r.partial)
+      partial = r.partial, omitted = r.fOmitted)
     // carmen:reverse_only features are never forward leads
     // (reference verifymatch.js:472)
     if (r.fReverseOnly) return noPenalty.copy(kind = -1)
@@ -710,7 +719,8 @@ object Forward {
               .getOrElse("")
           else ""
         noPenalty.copy(lon = lon, lat = lat, number = matchedNum,
-          fromCluster = fromCluster, interpolated = interp, omitted = omit,
+          fromCluster = fromCluster, interpolated = interp,
+          omitted = omit || r.fOmitted,
           overrides = eff, routablePoints = routablePts)
       case None =>
         if (r.partial)
@@ -1256,7 +1266,8 @@ object Forward {
         col("zxy").cast("array<string>").as("f_zxy"),
         lit(l.config.geocoderAddress).as("f_is_address"),
         col("types").as("f_types"),
-        col("reverseOnly").as("f_reverse_only"))
+        col("reverseOnly").as("f_reverse_only"),
+        col("omitted").as("f_omitted"))
     }.reduce(_ unionByName _)
 
     val results = resultsCk
@@ -1347,7 +1358,8 @@ object Forward {
       coalesce(col("f_intersections"), emptyNested).as("fIntersections"),
       coalesce(col("f_is_address"), lit(false)).as("addressLayer"),
       coalesce(col("f_types"), lit(array()).cast("array<string>")).as("fTypes"),
-      coalesce(col("f_reverse_only"), lit(false)).as("fReverseOnly"))
+      coalesce(col("f_reverse_only"), lit(false)).as("fReverseOnly"),
+      coalesce(col("f_omitted"), lit(false)).as("fOmitted"))
       .as[LeadRaw]
     // per-layer text info for V3 intersection matching + O1 formatting
     // inside resolveLead
@@ -1366,6 +1378,7 @@ object Forward {
       opts.language.map(_.split(",").map(_.trim).toVector.filter(_.nonEmpty))
         .getOrElse(Vector.empty)
     val language = requestedLangs.headOption
+    val allowDupes = opts.allowDupes
     val languageMode = opts.languageMode
     val routing = opts.routing
     // geocoder-wide max score for the verify scoredist recompute
@@ -1427,7 +1440,7 @@ object Forward {
       col("fullText"), col("fscore"), col("addressPos"), col("fromCluster"),
       col("interpolated"), col("omitted"), lit(0).as("pos"),
       col("matchingText"), col("overrides"), col("langOk"),
-      col("routablePoints"), col("langTexts"),
+      col("routablePoints"), col("langTexts"), lit(0).as("phraseHash"),
       lit("").as("ctyp"), lit(0).as("corder"), col("leadTypes").as("allTypes"),
       col("vorder"), col("cpos"))
 
@@ -1453,6 +1466,7 @@ object Forward {
       map().cast("map<string,string>").as("overrides"), lit(true).as("langOk"),
       lit("").as("routablePoints"),
       map().cast("map<string,string>").as("langTexts"),
+      col("phraseHash"),
       lit("").as("ctyp"), lit(0).as("corder"),
       lit(array()).cast("array<string>").as("allTypes"),
       lit(0).as("vorder"), lit(0).as("cpos"))
@@ -1473,6 +1487,7 @@ object Forward {
       map().cast("map<string,string>").as("overrides"), lit(true).as("langOk"),
       lit("").as("routablePoints"),
       map().cast("map<string,string>").as("langTexts"),
+      col("phraseHash"),
       lit("").as("ctyp"), lit(0).as("corder"),
       lit(array()).cast("array<string>").as("allTypes"),
       lit(0).as("vorder"), lit(0).as("cpos"))
@@ -1553,6 +1568,7 @@ object Forward {
           lit(true).as("langOk"), lit("").as("routablePoints"),
           coalesce(col("lang_texts"),
             map().cast("map<string,string>")).as("langTexts"),
+          lit(0).as("phraseHash"),
           col("ctyp"), col("corder"),
           lit(array()).cast("array<string>").as("allTypes"),
           lit(0).as("vorder"), lit(0).as("cpos"))
@@ -1581,12 +1597,15 @@ object Forward {
       val rows = it.toVector
       // loose sets (kind 3): best cover per tmpid over ALL spatialmatches
       val setsCovers = rows.filter(_.kind == 3).map(r =>
-        VerifyRank.VCover(r.tmpid, r.idx, r.mask, r.relev, r.text, r.zoom))
+        VerifyRank.VCover(r.tmpid, r.idx, r.mask, r.relev, r.text, r.zoom,
+          r.phraseHash))
+      val loose = VerifyRank.looseSets(setsCovers)
       val byPos = rows.filter(_.kind != 3).groupBy(_.position)
       val vresults = byPos.toVector.sortBy(_._1).flatMap { case (posn, rs) =>
         // spatialmatch cover order (pos) — covers.head is the lead cover
         val covers = rs.filter(_.kind == 0).sortBy(_.pos).map(r =>
-          VerifyRank.VCover(r.tmpid, r.idx, r.mask, r.relev, r.text, r.zoom))
+          VerifyRank.VCover(r.tmpid, r.idx, r.mask, r.relev, r.text, r.zoom,
+            r.phraseHash))
         val leadOpt = rs.find(_.kind == 2)
         leadOpt.map { lead =>
           // override:{type} substitution (verifymatch.js:597-631): the lead's
@@ -1684,13 +1703,41 @@ object Forward {
                 lang -> FormatPlace.placeName(feats, templateFor(Some(lang)))
               }.toMap
             }
+          // matching_place_name (format-features.js:162-183 matched=true):
+          // each member whose tmpid is in the query's cover sets recovers
+          // the synonym it matched; assembled only when some member (lead
+          // or context) actually matched a non-display synonym
+          val matchingPlaceName: String = {
+            def memberMatch(r: VRowT): Option[String] =
+              loose.get(r.tmpid).flatMap { c =>
+                FormatPlace.getMatchingText(language, r.fullText, r.langTexts,
+                  matchesLanguage = true, c.phraseHash, c.text,
+                  cfgByIdx.get(r.idx).map(_._2.categories).getOrElse(Set.empty))
+              }
+            val leadMatch = Option(lead.matchingText).filter(_.nonEmpty)
+            val ctxMatches = ctx.map { case (r, _) => memberMatch(r) }
+            if (leadMatch.isEmpty && ctxMatches.forall(_.isEmpty)) ""
+            else {
+              val feats = FormatPlace.CtxFeat(leadTyp,
+                leadMatch.getOrElse(lead.display), lead.number) +:
+                ctx.zip(ctxMatches).map { case ((r, _), m) =>
+                  FormatPlace.CtxFeat(ctxTyp(r), m.getOrElse(r.display), r.number)
+                }.toVector
+              FormatPlace.placeName(feats, templateFor(language))
+            }
+          }
           // O2 address-unique dedupe key (format-features.js:320-374):
           // cover texts + context extids; skipped for short address queries
           // ("100 ma"-style autocomplete) to avoid over-deduping
           val shortAddress = covers.headOption.exists(c =>
             shortAddressPattern.matcher(c.text).matches())
+          // the key applies to every address-layer lead: street fallbacks
+          // carry carmen:address=null, which the reference treats as SET
+          // (format-features.js:270 `!== undefined`), so same-cover-text
+          // streets dedupe (geocode-unit.duplicate-address)
+          val isAddrLead = cfgByIdx.get(lead.idx).exists(_._2.geocoderAddress)
           val addrKey =
-            if (lead.number.nonEmpty && !shortAddress) {
+            if (isAddrLead && !shortAddress) {
               val coverTexts = covers.map(" " + _.text).mkString
               val ctxIds = ctx.map { case (r, _) =>
                 s"${ctxTyp(r)}.${r.featureId}" }
@@ -1721,7 +1768,8 @@ object Forward {
               lead.routablePoints,
               if (lead.allTypes.nonEmpty) lead.allTypes else
                 Seq(typFmtOf(lead.idx)._1),
-              placeNames = placeNames),
+              placeNames = placeNames,
+              matchingPlaceName = matchingPlaceName),
             lead.vorder)
         }
       }
@@ -1732,7 +1780,6 @@ object Forward {
       // MAX_CONTEXTS_LIMIT results, then the final sortContext + slice +
       // relevance clamp
       val ordered = vresults.sortBy(_._3)
-      val loose = VerifyRank.looseSets(setsCovers)
       var acc = Vector.empty[(VerifyRank.Verified, Double)]
       var good = 0
       var batch = ordered.take(limitVerify)
@@ -1766,7 +1813,9 @@ object Forward {
       ranked.foreach { v =>
         val m = meta(v.position)
         val keys = m.placeName +: m.addrKey.toVector
-        keys.iterator.flatMap(byKey.get(_)).nextOption() match {
+        // allow_dupes skips the O2 dedupe (format-features.js:267)
+        (if (allowDupes) None
+         else keys.iterator.flatMap(byKey.get(_)).nextOption()) match {
           case Some(i) =>
             val (_, pm) = out(i)
             if (pm.number.nonEmpty && m.number.isEmpty) ()
@@ -1784,7 +1833,8 @@ object Forward {
           m.lon, m.lat, m.leadIdx, m.matchingText, m.routablePoints,
           if (m.leadTypes.nonEmpty) m.leadTypes.last
           else typFmtOf(m.leadIdx)._1,
-          place_names = m.placeNames)
+          place_names = m.placeNames,
+          matching_place_name = m.matchingPlaceName)
       }
     }
 
@@ -1792,7 +1842,8 @@ object Forward {
       .select(col("query_id"), col("rank"), col("relev"), col("scoredist"),
         col("place_name"), col("feature_id"), col("center_lon"),
         col("center_lat"), col("lead_idx"), col("matching_text"),
-        col("routable_points"), col("place_type"), col("place_names"))
+        col("routable_points"), col("place_type"), col("place_names"),
+        col("matching_place_name"))
       .orderBy(col("query_id"), col("rank"))
     stats match {
       case Some(st) if st.forceOutput =>

@@ -20,7 +20,9 @@ object VerifyRank {
 
   /** A cover from the spatialmatch stack (strict candidates). */
   final case class VCover(tmpid: Long, idx: Int, mask: Int, relev: Double,
-                          text: String, zoom: Int)
+                          text: String, zoom: Int,
+                          // matched-grid phrase hash (matching-text recovery)
+                          phraseHash: Int = 0)
 
   /** One context element; position 0 is the candidate feature itself,
     * the rest the reverse-context hierarchy sorted low-to-high.
