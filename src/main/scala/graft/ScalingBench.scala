@@ -105,11 +105,17 @@ object ScalingBench {
     }
     geocode(NQueries, None)
     // measured run carries the O3 stats surface: per-stage wall time +
-    // counts become per-stage throughput in the JSON line
+    // counts become per-stage throughput in the JSON line; the allocation
+    // delta tests whether the stage is bound by the same memory-bandwidth
+    // ceiling as ingest (same-rate allocation at 8 and 32 threads = yes)
     val gstats = new graft.query.Forward.GeocodeStats()
+    val galloc0 = allocatedBytes()
     val tB = time(geocode(NQueries, Some(gstats)))
-    System.err.println(s"[scaling cpus=$cpus] geocode ${NQueries}: ${tB}s [$gstats]")
-    lastGeocodeStats = gstats.stageSeconds.toMap
+    val gallocDelta = allocatedBytes() - galloc0
+    System.err.println(f"[scaling cpus=$cpus] geocode ${NQueries}: ${tB}s " +
+      f"alloc=${gallocDelta / 1e9}%.2fGB rate=${gallocDelta / tB / 1e9}%.2fGB/s [$gstats]")
+    lastGeocodeStats = gstats.stageSeconds.toMap +
+      ("alloc_gb_per_sec" -> gallocDelta / tB / 1e9)
 
     // C. bulk tile assignment: map-only mercator math, aggregated without
     // grouping so the measurement is the codegen scan itself

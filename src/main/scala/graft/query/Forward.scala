@@ -65,7 +65,9 @@ object Forward {
       // longer than this many tokens get no fuzzy edit budget
       maxCorrectionLength: Int = 8,
       // allow_dupes: skip the O2 place_name/address-unique dedupe
-      allowDupes: Boolean = false
+      allowDupes: Boolean = false,
+      // spatialmatch_stack_limit (constants.js:21): spatialmatch result cap
+      spatialmatchStackLimit: Int = StackCoalesce.SpatialmatchStackLimit
   )
 
   /** F1 option validation with the reference's error messages
@@ -1120,6 +1122,7 @@ object Forward {
 
     val proximity = opts.proximity
     val limitVerify = opts.limitVerify
+    val smStackLimitB = opts.spatialmatchStackLimit
     val bboxB = tileBbox
     val leadAllowedB = leadAllowedIdxs
 
@@ -1211,7 +1214,8 @@ object Forward {
             fuzzyShortCount.getOrElse(pm.mask, 0) > 6)
         }
       }.toVector
-      val sms0 = StackCoalesce.spatialmatch(qlen, pmsFiltered, proximity, bboxB)
+      val sms0 = StackCoalesce.spatialmatch(qlen, pmsFiltered, proximity,
+        bboxB, smStackLimitB)
       // lead-cover sourceAllowed filter (verifymatch.js:191-196)
       val sms =
         if (leadAllowedB.size == cfgs.size) sms0

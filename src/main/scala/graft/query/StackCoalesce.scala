@@ -137,10 +137,17 @@ object StackCoalesce {
     // ties break by descending packed grid value (y, x, id) — the legacy
     // gridstore ordering observable in the reference's proximity fixtures
     // (country.2 at y=1 sorts before country.1 at y=0)
-    results.sortBy { r =>
+    val sorted = results.sortBy { r =>
       val c = r.covers.head
       (-r.relev, -r.scoredist, -((c.y.toLong << 34) | (c.x.toLong << 20) | c.id24))
-    }.take(cap).toVector
+    }
+    // one context per lead feature BEFORE the cap (carmen-core keeps the
+    // best grid per feature id): a multi-tile feature's many near grids
+    // must not crowd other features out of the capped window — observable
+    // in geocode-unit.proximity-polygon (341-tile polygons, 3 features)
+    val seen = mutable.HashSet.empty[Long]
+    val deduped = sorted.filter(r => seen.add(r.covers.head.tmpid))
+    deduped.take(cap).toVector
   }
 
   private def better(a: GridRow, b: GridRow): Boolean =
@@ -224,7 +231,8 @@ object StackCoalesce {
     */
   def spatialmatch(queryLength: Int, pms: Vector[Pm],
                    proximity: Option[(Double, Double)] = None,
-                   bbox: Option[(Int, Int, Int, Int, Int)] = None): Vector[StackResult] = {
+                   bbox: Option[(Int, Int, Int, Int, Int)] = None,
+                   stackLimit: Int = SpatialmatchStackLimit): Vector[StackResult] = {
     val stacks = stackable(pms)
     // single-member stacks keep up to 40 contexts (carmen-core
     // coalesce_single MAX_CONTEXTS — observable in geocode-unit.limit:
@@ -255,7 +263,7 @@ object StackCoalesce {
     all.foreach { sm =>
       val covers = sm.covers
       val tmpid = covers.head.tmpid
-      if (n < SpatialmatchStackLimit) {
+      if (n < stackLimit) {
         if (covers.length > 1 && covers.head.idx > covers(1).idx && !doneDesc.contains(tmpid)) {
           doneDesc += tmpid; out += sm; n += 1
         } else if (covers.length > 1 && covers.head.idx < covers(1).idx && !doneAsc.contains(tmpid)) {
