@@ -160,6 +160,20 @@ object Forward {
   final case class GridLite(relev: Double, score3: Int, id24: Long,
                             x: Int, y: Int, phraseHash: Int)
 
+  /** Two-long packed grid (the pm_join aggregation hot spot measured in
+    * SCALING_r4.json: ~56B struct per grid -> 16B in primitive long
+    * arrays). A = x(14)<<42 | y(14)<<28 | score3(3)<<25 | id24(25);
+    * B = unsigned phraseHash(32)<<2 | relev2(2), relev 0.2-quantized at
+    * index time (Phrases.scala enumerate: jsRound(relev*5)/5, >=0.8).
+    */
+  def decodeGrid(a: Long, b: Long): GridLite = GridLite(
+    relev = JsNum.toFixed1(0.4 + (b & 3L) * 0.2),
+    score3 = ((a >> 25) & 7L).toInt,
+    id24 = a & 0x1FFFFFFL,
+    x = ((a >> 42) & 0x3FFFL).toInt,
+    y = ((a >> 28) & 0x3FFFL).toInt,
+    phraseHash = ((b >> 2) & 0xFFFFFFFFL).toInt)
+
   /** One (query window, phrase) match with its grid list — the per-query
     * spatialmatch input (the reference's phrasematch result shape:
     * phrases with grid ranges, not exploded grid rows).
@@ -169,7 +183,8 @@ object Forward {
                                qlen: Int, addrPos: Int, addrNum: String,
                                partial: Boolean, numberOrder: String,
                                fuzzy: Boolean, phrase: String,
-                               langSet: String, grids: Seq[GridLite])
+                               langSet: String,
+                               gridsA: Seq[Long], gridsB: Seq[Long])
 
   /** Joined phrasematch grid row (input to per-query spatialmatch). */
   final case class PmRow(queryId: Long, layer: String, subquery: String,
@@ -1107,9 +1122,17 @@ object Forward {
         col("addrPos"), col("addrNum"), col("partial"), col("numberOrder"),
         col("is_fuzzy").as("fuzzy"), col("phrase"),
         col("lang_set").as("langSet"))
-      .agg(collect_list(struct(
-        col("relev"), col("score3"), col("id24"), col("x"), col("y"),
-        col("phrase_hash").as("phraseHash"))).as("grids"))
+      .agg(
+        collect_list(
+          shiftleft(col("x").cast("long"), 42)
+            .bitwiseOR(shiftleft(col("y").cast("long"), 28))
+            .bitwiseOR(shiftleft(col("score3").cast("long"), 25))
+            .bitwiseOR(col("id24").cast("long"))).as("gridsA"),
+        collect_list(
+          shiftleft(col("phrase_hash").cast("long")
+              .bitwiseAND(lit(0xFFFFFFFFL)), 2)
+            .bitwiseOR(round((col("relev") - 0.4) / 0.2).cast("long")))
+          .as("gridsB"))
     // with stats on, the phrasematch joins materialize separately so
     // "pm_join" vs "spatialmatch" (coalesce kernel) attribute honestly
     val pmRows = stats match {
@@ -1140,7 +1163,9 @@ object Forward {
         .flatMap { case ((layer, mask, subq, pfx, addrNum, partial, numberOrder, addrPos, fuzzy), prs) =>
           // flatten the per-phrase grid lists back to grid entries
           val grs0: Vector[(GridLite, String)] =
-            prs.toVector.flatMap(pr => pr.grids.map(g => (g, pr.langSet)))
+            prs.toVector.flatMap(pr =>
+              pr.gridsA.iterator.zip(pr.gridsB.iterator)
+                .map { case (a, b) => (decodeGrid(a, b), pr.langSet) }.toVector)
           val (cfg, scorefactor) = cfgs(layer)
           // partial-number searches require the proximity point INSIDE the
           // source bounds (proxMatch, phrasematch.js:46-48, 207) and keep
