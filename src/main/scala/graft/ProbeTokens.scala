@@ -19,7 +19,7 @@ object ProbeTokens {
       (LayerConfig("address", idx = 0, zoom = 6, typ = "address",
         geocoderTokens = Seq("Street" -> TokenSpec("St"))), docs)))
     println("POSTINGS:")
-    index.allPostings.select("phrase", "relev").distinct().collect().foreach(println)
+    index.allPostingsFlat.select("phrase", "relev").distinct().collect().foreach(println)
     val groups = Seq((1L, "fake st")).toDF("query_id", "query")
     val subs = graft.query.Forward.subqueries(spark, groups,
       Vector(graft.query.Forward.QueryGroup(

@@ -310,31 +310,20 @@ object SparkEntry {
 
     "geocode_postings" -> ((s, _) => {
       val index = BigGeoIndexCache.get(s)
-      index.allPostings.select(col("layer"), col("phrase"), col("phrase_id"),
-        col("relev"), col("score3"), col("id24"), col("x"), col("y"))
+      index.allPostingsFlat.select(col("layer"), col("phrase"),
+        col("phrase_id"), col("relev"), col("score3"), col("id24"),
+        col("x"), col("y"))
     }),
 
     "geocode_address" -> ((s, _) => {
-      import s.implicits._
-      // address-cluster + TIGER-range layer: resolution via
-      // AddressCluster.forward / AddressItp.forward (rows-only check;
-      // correctness carried by AddressSpec/AddressAcceptanceSpec goldens)
-      val docs = s.createDataset(Seq(
-        graft.model.GeoDoc(1, "fake street", 0,
-          """{"type":"GeometryCollection","geometries":[{"type":"MultiPoint","coordinates":[[0.001,0.001],[0.002,0.002],[0.003,0.003]]}]}""",
-          0.001, 0.001, addressnumber = Seq(Seq("9b", "10c", "7"))),
-        graft.model.GeoDoc(3, "interp road", 0,
-          """{"type":"GeometryCollection","geometries":[{"type":"MultiLineString","coordinates":[[[0.0,0.0],[0.008,0.0]]]}]}""",
-          0.004, 0.0, rangetype = "tiger",
-          lfromhn = Seq(Seq("2")), ltohn = Seq(Seq("98")),
-          rfromhn = Seq(Seq("1")), rtohn = Seq(Seq("99")),
-          parityl = Seq(Seq("E")), parityr = Seq(Seq("O")))))
-      val index = graft.index.IndexBuilder.build(s, Seq(
-        (graft.model.LayerConfig("address", idx = 0, zoom = 6, typ = "address",
-          geocoderAddress = true), docs)))
-      val qs = Seq((1L, "9b fake street"), (2L, "10c fake street"),
-        (3L, "51 interp road"), (4L, "124 fake street"))
-        .toDF("query_id", "query")
+      // house-number resolution (AddressCluster.forward / AddressItp
+      // .forward) batched against the BigGazetteer address layer so the
+      // entry measures address-resolution throughput, not per-call
+      // planning floor; per-number correctness is carried by
+      // AddressSpec/AddressAcceptanceSpec goldens
+      val index = BigGeoIndexCache.get(s)
+      val qs = graft.index.BigGazetteer.addressQueries(s, 1000,
+        BigGeoIndexCache.NPlaces)
       graft.query.Forward.forward(s, index, qs)
         .select(col("query_id"), col("rank"), col("relev"), col("place_name"),
           col("center_lon"), col("center_lat"))

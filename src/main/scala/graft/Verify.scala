@@ -15,10 +15,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // self-goldens (frozen rows+hash) gate the no_oracle queries the
+    // DuckDB compare can't check; applies when run at the frozen sf
+    val goldens = SelfGoldens.load()
+      .filter { case (sf, _) => sfDir.stripSuffix("/").endsWith(sf) }
+      .map(_._2).getOrElse(Map.empty)
+    var goldenFailures = 0
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        if (!SparkEntry.oracleSql.contains(name)) goldens.get(name).foreach { g =>
+          val got = SelfGoldens.contentHash(spark.read.parquet(s"$outDir/$name"))
+          if (got != g) {
+            goldenFailures += 1
+            System.err.println(s"[verify][self-golden] $name FAIL: expected " +
+              s"rows=${g.rows} hash=${g.hash}, got rows=${got.rows} hash=${got.hash}")
+          } else println(s"[verify][self-golden] $name ok (rows=${g.rows})")
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -38,5 +53,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (goldenFailures > 0) {
+      System.err.println(s"[verify] $goldenFailures self-golden failure(s)")
+      sys.exit(1)
+    }
   }
 }

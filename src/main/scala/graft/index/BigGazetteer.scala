@@ -184,6 +184,23 @@ object BigGazetteer {
     }.toDF("query_id", "query")
   }
 
+  /** House-number workload: "num street place" queries resolving through
+    * the address layer — even streets via the 10-point cluster (odd numbers
+    * 1..19), odd streets via the TIGER interpolation range 1..99.
+    */
+  def addressQueries(spark: SparkSession, nQueries: Int,
+                     nPlaces: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val n = nPlaces
+    spark.range(nQueries).map { q0 =>
+      val q = q0.toInt
+      val i = (q * 7919) % n
+      val j = i * 2 + (q % 2)
+      val num = if (j % 2 == 0) 2 * (q % 10) + 1 else 1 + (q % 99)
+      (q.toLong, s"$num ${streetName(j)} ${placeName(i)}")
+    }.toDF("query_id", "query")
+  }
+
   /** The same workload with one transposition typo in the street/place word
     * (exercises the symmetric-delete fuzzy join).
     */

@@ -29,11 +29,12 @@ object IndexBuilder {
   final case class LayerIndex(
       config: LayerConfig,
       features: DataFrame,     // id, id24, text, score, geometry/geom_bin, center_lon/lat, zxy
-      postings: DataFrame,     // phrase, phrase_id, lang_set, relev, score3, id24, x, y, phrase_hash
+      postings: DataFrame,     // layer, phrase, phrase_id, lang_set, gridsA, gridsB (packed-long grid arrays; see packGridA/B)
       tileFeatures: DataFrame, // z, x, y, id, id24, text, score, center_lon/lat, geom_bin
       scorefactor: Double,     // max score of the layer (3-bit decode factor)
       deletes: DataFrame,      // variant, phrase, layer (fuzzy candidates)
       prefixes: DataFrame,     // pfx, pfx_len, phrase, layer (autocomplete keys)
+      prefixDeletes: DataFrame, // variant, phrase, layer (fuzzy-prefix keys)
       quarantine: DataFrame    // id, error (I1/I18 rejects, reference error strings)
   )
 
@@ -49,12 +50,48 @@ object IndexBuilder {
   /** Driver-side term-frequency map cap (I8 at web scale). */
   val VocabCap = 2 * 1024 * 1024
 
+  /** Packed-grid encoding (the gridstore payload, S6/I15): each grid is two
+    * longs. A = x(14) << 42 | y(14) << 28 | score3(3) << 25 | id24(25);
+    * B = unsigned phraseHash(32) << 2 | relev2(2), relev 0.2-quantized
+    * (reference 53-bit grid packing, lib/indexer/index.js:139-197 +
+    * carmen-core gridstore). Inputs are the flat per-grid posting columns.
+    */
+  def packGridA: org.apache.spark.sql.Column =
+    shiftleft(col("x").cast("long"), 42)
+      .bitwiseOR(shiftleft(col("y").cast("long"), 28))
+      .bitwiseOR(shiftleft(col("score3").cast("long"), 25))
+      .bitwiseOR(col("id24").cast("long"))
+  def packGridB: org.apache.spark.sql.Column =
+    shiftleft(col("phrase_hash").cast("long").bitwiseAND(lit(0xFFFFFFFFL)), 2)
+      .bitwiseOR(round((col("relev") - 0.4) / 0.2).cast("long"))
+
+  /** Explode gridstore-shaped postings back to one row per grid with the
+    * decoded payload columns — the analyze/export view (S10, oracle scans).
+    */
+  def flattenPostings(grouped: DataFrame): DataFrame =
+    grouped
+      .select(col("layer"), col("phrase"), col("phrase_id"), col("lang_set"),
+        explode(arrays_zip(col("gridsA"), col("gridsB"))).as("g"))
+      .select(col("layer"), col("phrase"), col("phrase_id"), col("lang_set"),
+        round(col("g.gridsB").bitwiseAND(lit(3L)) * 0.2 + 0.4, 1).as("relev"),
+        shiftright(col("g.gridsA"), 25).bitwiseAND(lit(7L)).cast("int")
+          .as("score3"),
+        col("g.gridsA").bitwiseAND(lit(0x1FFFFFFL)).as("id24"),
+        shiftright(col("g.gridsA"), 42).bitwiseAND(lit(0x3FFFL)).cast("int")
+          .as("x"),
+        shiftright(col("g.gridsA"), 28).bitwiseAND(lit(0x3FFFL)).cast("int")
+          .as("y"),
+        shiftright(col("g.gridsB"), 2).bitwiseAND(lit(0xFFFFFFFFL)).cast("int")
+          .as("phrase_hash"))
+
   final case class CarmenIndex(layers: Vector[LayerIndex]) {
     def layer(name: String): LayerIndex = layers.find(_.config.name == name).get
     def maxZoom: Int = layers.map(_.config.zoom).max
     /** Union of all layers' postings with a `layer` column (already there). */
     lazy val allPostings: DataFrame =
       layers.map(_.postings).reduce(_ unionByName _)
+    /** Per-grid exploded view of [[allPostings]] (analyze/export scans). */
+    lazy val allPostingsFlat: DataFrame = flattenPostings(allPostings)
     /** All layers' tile_features unified with idx/layer columns: one join
       * target for reverse lookups and context fill instead of a per-layer
       * join fan-out.
@@ -134,14 +171,22 @@ object IndexBuilder {
       intersections: Seq[Seq[String]], langTexts: Map[String, String],
       numGeometries: Int)
 
+  /** GeometryCollection-aligned parallel arrays carry null entries for
+    * non-address geometries (carmen:addressnumber = [null, [...]] when a
+    * doc mixes ITP lines and cluster points) — treat null as empty.
+    */
+  private def nullSafe(a: Seq[Seq[String]]): Vector[Vector[String]] =
+    if (a == null) Vector.empty
+    else a.map(p => if (p == null) Vector.empty[String] else p.toVector).toVector
+
   private def housenumRangeOf(d: DocCover): Vector[String] =
     AddressTokens.getHousenumRangeV3(
-      d.addressnumber.map(_.toVector).toVector,
+      nullSafe(d.addressnumber),
       hasRangeType = d.rangetype.nonEmpty,
-      lfromhn = d.lfromhn.map(_.toVector).toVector,
-      ltohn = d.ltohn.map(_.toVector).toVector,
-      rfromhn = d.rfromhn.map(_.toVector).toVector,
-      rtohn = d.rtohn.map(_.toVector).toVector,
+      lfromhn = nullSafe(d.lfromhn),
+      ltohn = nullSafe(d.ltohn),
+      rfromhn = nullSafe(d.rfromhn),
+      rtohn = nullSafe(d.rtohn),
       numGeometries = d.numGeometries)
 
   private val numGeomsUdf = udf((geojson: String) =>
@@ -339,8 +384,22 @@ object IndexBuilder {
       val phraseIndex = rankedLocal
         .join(broadcast(offsetsDf), Seq("pid"))
         .select(col("phrase"), (col("offset") + col("local_rank")).as("phrase_id"))
+      // gridstore shape (S6, reference lib/indexer/index.js:139-197): the
+      // stored posting row is ONE row per (phrase, lang_set) with its grids
+      // pre-packed into two parallel long arrays — the same 2-long packing
+      // the forward path consumes (Forward.decodeGrid). Grouping here, at
+      // index build, means the per-query phrasematch join delivers ready
+      // grid arrays: no per-query collect_list re-aggregation of hot
+      // phrases' grid lists (the measured 55 MB/query allocation hot spot,
+      // SCALING_r4.json) and one less shuffle per forward() call. The
+      // struct sort makes array order deterministic (stable goldens).
       val postings = postingsDs
         .join(phraseIndex, Seq("phrase"))
+        .groupBy(col("layer"), col("phrase"), col("phrase_id"), col("lang_set"))
+        .agg(sort_array(collect_list(struct(
+          packGridA.as("a"), packGridB.as("b")))).as("g"))
+        .select(col("layer"), col("phrase"), col("phrase_id"), col("lang_set"),
+          col("g.a").as("gridsA"), col("g.b").as("gridsB"))
         .cache()
 
       // 5. tile_features: explode covers (S8); geometry travels pre-parsed
@@ -369,11 +428,41 @@ object IndexBuilder {
           .withColumn("geometry", lit(""))
           .withColumn("geom_bin", lit(null).cast("binary"))
 
+      // Word-replacement awareness (the engine analog of fuzzy-phrase's
+      // loadWordReplacements, reference index.js:356): each candidate row
+      // carries `vtext` — the phrase with ONE stored word reverted to its
+      // un-replaced source ("ft" -> "fort") — so a typed partial prefix of
+      // the source still reaches the stored phrase ("fo" / "30th stre").
+      // One position at a time suffices: complete query words are already
+      // simple-replaced to stored form before matching.
+      val reverseSimple: Map[String, Vector[String]] =
+        replacersFor(cfg).simple.tokens.toVector
+          .groupMap(_._2)(_._1).view.mapValues(_.sorted).toMap
+      def wordVariantsOf(p: String): Vector[String] =
+        if (reverseSimple.isEmpty) Vector(p)
+        else {
+          val ws = p.split(" ", -1).toVector
+          val out = Vector.newBuilder[String]
+          out += p
+          var i = 0
+          while (i < ws.length) {
+            for (src <- reverseSimple.getOrElse(ws(i), Vector.empty))
+              out += ws.updated(i, src).mkString(" ")
+            i += 1
+          }
+          out.result().distinct
+        }
+
       // 6. symmetric-delete fuzzy candidate table (P6): variant -> phrase
       val deletes = distinctPhrases
         .as[String]
-        .flatMap(p => Fuzzy.phraseVariants(p).map(v => (v, p)))
-        .toDF("variant", "phrase")
+        .flatMap { p =>
+          for {
+            vt <- wordVariantsOf(p)
+            v <- Fuzzy.phraseVariants(vt)
+          } yield (v, vt, p)
+        }
+        .toDF("variant", "vtext", "phrase")
         .withColumn("layer", lit(cfg.name))
         .cache()
 
@@ -382,14 +471,41 @@ object IndexBuilder {
       val prefixes = distinctPhrases
         .as[String]
         .flatMap { p =>
-          (1 to math.min(MaxPrefixLen, p.length)).map(l => (p.substring(0, l), l, p))
+          for {
+            vt <- wordVariantsOf(p)
+            l <- 1 to math.min(MaxPrefixLen, vt.length)
+          } yield (vt.substring(0, l), l, vt, p)
         }
-        .toDF("pfx", "pfx_len", "phrase")
+        .toDF("pfx", "pfx_len", "vtext", "phrase")
+        .withColumn("layer", lit(cfg.name))
+        .cache()
+
+      // 8. fuzzy-prefix keys (P6 prefix tail, reference endingType
+      // anyPrefix/wordBoundaryPrefix into the fuzzy store,
+      // phrasematch.js:83-96,106): symmetric-delete variants of the
+      // bounded-length phrase-prefix keys. Two strings within one character
+      // edit always share a member of {x} union deletes1(x) at adjacent
+      // key lengths, so a typo ANYWHERE in the typed window — including
+      // the final, partially-typed word — still equi-joins; the residual
+      // Fuzzy.fuzzyPrefixMatch check verifies word-budgeted DL<=1.
+      // Key lengths 3..MaxPrefixLen: fuzzy queries are >= MinCorrectionLength
+      // chars, so their variant keys are >= 3 chars.
+      val prefixDeletes = distinctPhrases
+        .as[String]
+        .flatMap { p =>
+          for {
+            vt <- wordVariantsOf(p)
+            v <- (3 to math.min(MaxPrefixLen, vt.length)).iterator
+              .flatMap(l => Fuzzy.deleteVariants(vt.substring(0, l)))
+              .toVector.distinct
+          } yield (v, vt, p)
+        }
+        .toDF("variant", "vtext", "phrase")
         .withColumn("layer", lit(cfg.name))
         .cache()
 
       LayerIndex(cfg, features, postings, tileFeatures, math.max(maxScore, 0.0),
-        deletes, prefixes, quarantine)
+        deletes, prefixes, prefixDeletes, quarantine)
     }
     CarmenIndex(built.toVector)
   }

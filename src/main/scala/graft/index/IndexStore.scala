@@ -66,6 +66,8 @@ object IndexStore {
       .parquet(tablePath(root, layer, "deletes"))
     l.prefixes.write.mode(SaveMode.Overwrite)
       .parquet(tablePath(root, layer, "prefixes"))
+    l.prefixDeletes.write.mode(SaveMode.Overwrite)
+      .parquet(tablePath(root, layer, "prefix_deletes"))
     l.quarantine.write.mode(SaveMode.Overwrite)
       .parquet(tablePath(root, layer, "quarantine"))
 
@@ -82,6 +84,7 @@ object IndexStore {
           ("features", l.features.count()),
           ("deletes", l.deletes.count()),
           ("prefixes", l.prefixes.count()),
+          ("prefix_deletes", l.prefixDeletes.count()),
           ("quarantine", l.quarantine.count()),
           ("_scorefactor_micros", math.round(l.scorefactor * 1e6).max(0L)))
           .toDF("table", "rows")
@@ -109,13 +112,14 @@ object IndexStore {
     val features = spark.read.parquet(tablePath(root, layer, "features"))
     val deletes = spark.read.parquet(tablePath(root, layer, "deletes"))
     val prefixes = spark.read.parquet(tablePath(root, layer, "prefixes"))
+    val prefixDeletes = spark.read.parquet(tablePath(root, layer, "prefix_deletes"))
     val quarantine = spark.read.parquet(tablePath(root, layer, "quarantine"))
     val scorefactor = lineage(spark, root)
       .where(col("layer") === layer && col("table") === "_scorefactor_micros")
       .select(col("rows")).collect().headOption
       .map(_.getLong(0).toDouble / 1e6).getOrElse(0.0)
     IndexBuilder.LayerIndex(cfg, features, postings, tileFeatures, scorefactor,
-      deletes, prefixes, quarantine)
+      deletes, prefixes, prefixDeletes, quarantine)
   }
 
   /** Build-or-resume: completed layers load from the store; the rest build,

@@ -61,7 +61,11 @@ final case class LayerConfig(
     // minscore): when maxscore is >= 0 it overrides the derived layer max
     // for the 3-bit scale factor and the geocoder-wide scoreWeight range
     maxscore: Double = -1.0,
-    minscore: Double = 0.0
+    minscore: Double = 0.0,
+    // geocoder_coalesce_radius (reference index.js:233,381): per-source
+    // proximity radius (miles) for coalesce's scoredist decay and the
+    // nearby-grid filtering; 0 = unset -> the zoom-scaled default
+    coalesceRadius: Double = 0.0
 ) {
   /** Effective geocoder_name (reference byname grouping). */
   def gname: String = if (geocoderName.nonEmpty) geocoderName else name

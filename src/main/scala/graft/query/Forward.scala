@@ -67,7 +67,11 @@ object Forward {
       // allow_dupes: skip the O2 place_name/address-unique dedupe
       allowDupes: Boolean = false,
       // spatialmatch_stack_limit (constants.js:21): spatialmatch result cap
-      spatialmatchStackLimit: Int = StackCoalesce.SpatialmatchStackLimit
+      spatialmatchStackLimit: Int = StackCoalesce.SpatialmatchStackLimit,
+      // user-supplied inline template helpers for geocoder_format rendering
+      // (reference opts.formatHelpers, lib/util/helpers.js); must be
+      // serializable — they ship to executors with the format closure
+      formatHelpers: Map[String, String => String] = Map.empty
   )
 
   /** F1 option validation with the reference's error messages
@@ -133,10 +137,23 @@ object Forward {
                            addrPos: Int, addrNum: String,
                            numberOrder: String)
 
+  /** Query-side fuzzy-PREFIX variant row (autocomplete ender windows):
+    * carries the ending type so the residual verify can demand whole-word
+    * completion for wordBoundaryPrefix endings.
+    */
+  final case class FuzzPfxVar(queryId: Long, subquery: String, mask: Int,
+                              weight: Double, qlen: Int, qsig: String,
+                              variant: String, addrPos: Int, addrNum: String,
+                              numberOrder: String, wordBoundary: Boolean)
+
   private val phraseDistUdf = udf((q: String, c: String) =>
     Fuzzy.phraseDistance(q, c).getOrElse(-1))
   private val penaltyUdf = udf((original: String, ed: Int) =>
     Fuzzy.editPenalty(original, ed))
+  /** Residual fuzzy-prefix verify: (edit, corrected cover text) or null. */
+  private val fuzzyPrefixUdf = udf(
+    (q: String, p: String, wordBoundary: Boolean) =>
+      Fuzzy.fuzzyPrefixMatch(q, p, wordBoundary))
 
   /** Subquery window row. addrPos = -1 when the window carries no masked
     * house number; partial marks a proximity partial-number search. The mask
@@ -347,10 +364,11 @@ object Forward {
               // (phrasematch.js:84-92); a simple word replacement of the
               // final term counts as lastWord (the reference preloads word
               // replacements into carmen-core, which tracks the same flag)
-              val wordBoundaryHyp = normalized.lastWord ||
-                (normalized.separators.nonEmpty && normalized.separators.last.nonEmpty) ||
-                (tokens.nonEmpty && normalized.tokens.nonEmpty &&
-                  tokens.last != normalized.tokens.last)
+              val wordBoundarySep = normalized.lastWord ||
+                (normalized.separators.nonEmpty && normalized.separators.last.nonEmpty)
+              val lastSimpleReplaced = tokens.nonEmpty &&
+                normalized.tokens.nonEmpty && tokens.last != normalized.tokens.last
+              val wordBoundaryHyp = wordBoundarySep || lastSimpleReplaced
               if (tokens.isEmpty) Iterator.empty
               else {
                 val owner = normalized.owner
@@ -418,7 +436,19 @@ object Forward {
                       } else None
                     }
                     val subqText = p.terms.mkString(" ")
-                    masks.iterator.map { m =>
+                    // the un-replaced final word rides as a SECOND ender
+                    // hypothesis: the reference never simple-replaces the
+                    // query (fuzzy-phrase knows the word replacements), so
+                    // a typed 'fort' both completes to stored 'ft ...' AND
+                    // prefixes 'fortenberry ...' (loadWordReplacements,
+                    // reference index.js:356)
+                    val altText: Option[String] =
+                      if (p.ender && lastSimpleReplaced && p.terms.nonEmpty &&
+                        p.terms.last == tokens.last)
+                        Some((p.terms.dropRight(1) :+ normalized.tokens.last)
+                          .mkString(" "))
+                      else None
+                    masks.iterator.flatMap { m =>
                       // weight = covered original-token span / original query
                       // length (phrasematch.js:324-326), times the edit
                       // penalty when the hypothesis spent fuzz budget
@@ -428,13 +458,15 @@ object Forward {
                       // partial-number searches resolve with the ORIGINAL
                       // query token (reference verifymatch.js:410 uses
                       // query[0]), not the waffled subquery text
-                      SubQ(qid, subqText, m, p.ender, weight, origLen,
+                      val base = SubQ(qid, subqText, m, p.ender, weight, origLen,
                         p.addressPos.map(owner(_)).getOrElse(-1),
                         p.addressNumber.getOrElse(
                           if (partial) tokens.head else ""),
                         partial, g.qsig, p.numberOrder.getOrElse(""), initDist,
                         wordBoundary = wordBoundaryHyp,
                         fuzzyOk = maxDistance > 0)
+                      Iterator(base) ++ altText.iterator.map(alt =>
+                        base.copy(subquery = alt, wordBoundary = wordBoundarySep))
                     }
                   }
               }
@@ -646,11 +678,14 @@ object Forward {
     val hasAddressData = r.fAddrnum.nonEmpty || r.fRangetype.nonEmpty
     if (!hasAddressData) return noPenalty
     if (r.addrNum.isEmpty && !r.partial) return noPenalty
-    val clusterParts = r.fAddrnum.toVector.zipWithIndex.map { case (nums, k) =>
+    val clusterParts = r.fAddrnum.toVector.zipWithIndex.map { case (nums0, k) =>
+      // geometry-aligned slots are null for non-cluster geometries
+      // (carmen:addressnumber = [null, [...]])
+      val nums = if (nums0 == null) Vector.empty[String] else nums0.toVector
       parts.lift(k) match {
         case Some(Geom.MultiPoint(pts)) =>
-          AddressCluster.Part(nums.toVector, pts, isMultiPoint = true)
-        case _ => AddressCluster.Part(nums.toVector, Vector.empty, isMultiPoint = false)
+          AddressCluster.Part(nums, pts, isMultiPoint = true)
+        case _ => AddressCluster.Part(nums, Vector.empty, isMultiPoint = false)
       }
     }
 
@@ -691,7 +726,7 @@ object Forward {
                 case _ => Vector.empty[Vector[(Double, Double)]]
               }
               def at(v: Seq[Seq[String]]): Vector[String] =
-                if (k < v.length) v(k).toVector else Vector.empty
+                if (k < v.length && v(k) != null) v(k).toVector else Vector.empty
               AddressItp.Part(lines, at(r.fLfromhn), at(r.fLtohn),
                 at(r.fRfromhn), at(r.fRtohn), at(r.fParityl), at(r.fParityr),
                 isMultiLineString = lines.nonEmpty)
@@ -878,12 +913,15 @@ object Forward {
     val candCols = Seq("qsig", "phrase", "queryId", "subquery", "mask",
       "weight", "qlen", "addrPos", "addrNum", "partial", "numberOrder",
       "is_prefix", "is_fuzzy").map(col)
-    // wordBoundaryPrefix: only whole-word phrase extensions
+    // wordBoundaryPrefix: only whole-word phrase extensions. Residuals run
+    // against `vtext` (the replacement-variant text a typed prefix actually
+    // extends — reference loadWordReplacements semantics); `phrase` stays
+    // the stored form that keys the postings.
     val prefixOk =
       when(col("wordBoundary"),
-        col("phrase").startsWith(concat(col("subquery"), lit(" "))))
-      .otherwise(col("phrase").startsWith(col("subquery")) &&
-        col("phrase") =!= col("subquery"))
+        col("vtext").startsWith(concat(col("subquery"), lit(" "))))
+      .otherwise(col("vtext").startsWith(col("subquery")) &&
+        col("vtext") =!= col("subquery"))
     val exactCand = subs
       .withColumn("phrase", col("subquery"))
       .withColumn("is_prefix", lit(false))
@@ -922,13 +960,14 @@ object Forward {
                 s.qsig, v, s.addrPos, s.addrNum, s.numberOrder))
           }.toDF()
         tagSig(_.deletes).join(qVariants, Seq("variant", "qsig"))
-          .where(col("phrase") =!= col("subquery"))
+          .where(col("vtext") =!= col("subquery"))
           .select(col("qsig"), col("phrase").as("cand_phrase"),
+            col("vtext"),
             col("queryId"), col("subquery"), col("mask"),
             col("weight"), col("qlen"), col("addrPos"), col("addrNum"),
             col("numberOrder"))
           .distinct()
-          .withColumn("edit", phraseDistUdf(col("subquery"), col("cand_phrase")))
+          .withColumn("edit", phraseDistUdf(col("subquery"), col("vtext")))
           .where(col("edit") === 1)
           .withColumn("weight", col("weight") * penaltyUdf(col("subquery"), col("edit")))
           // the MATCHED phrase becomes the cover text (reference
@@ -941,8 +980,54 @@ object Forward {
           .withColumn("is_prefix", lit(false))
           .withColumn("is_fuzzy", lit(true))
           .select(candCols: _*)
+          // one row per (window, phrase): several replacement variants may
+          // verify the same candidate
+          .distinct()
       }
-    val candAll = (Seq(exactCand) ++ prefixCand ++ fuzzyCand)
+    // fuzzy-prefix branch (P6 tail): autocomplete ender windows whose typo
+    // may sit in ANY word — including the final, partially-typed one —
+    // join symmetric-delete variants of their bounded prefix key against
+    // the index's prefix-delete table, then verify word-budgeted DL<=1
+    // with the window-as-prefix semantics (reference fuzzyMatchWindows /
+    // fuzzyMatchMulti with endingType anyPrefix / wordBoundaryPrefix,
+    // phrasematch.js:83-96,106,235-247)
+    val fuzzyPrefixCand: Option[DataFrame] =
+      if (!autocomplete || !fuzzy) None
+      else Some {
+        val maxPfx = IndexBuilder.MaxPrefixLen
+        val qVariants = subs.as[SubQ]
+          .filter(s => s.ender && !s.partial && s.editDist == 0 && s.fuzzyOk &&
+            s.subquery.length >= Fuzzy.MinCorrectionLength)
+          .flatMap { s =>
+            val k = s.subquery.substring(0, math.min(maxPfx, s.subquery.length))
+            Fuzzy.deleteVariants(k).map(v =>
+              FuzzPfxVar(s.queryId, s.subquery, s.mask, s.weight, s.qlen,
+                s.qsig, v, s.addrPos, s.addrNum, s.numberOrder,
+                s.wordBoundary))
+          }.toDF()
+        tagSig(_.prefixDeletes).join(qVariants, Seq("variant", "qsig"))
+          .select(col("qsig"), col("phrase").as("cand_phrase"),
+            col("vtext"),
+            col("queryId"), col("subquery"), col("mask"), col("weight"),
+            col("qlen"), col("addrPos"), col("addrNum"), col("numberOrder"),
+            col("wordBoundary"))
+          .distinct()
+          .withColumn("fp", fuzzyPrefixUdf(col("subquery"), col("vtext"),
+            col("wordBoundary")))
+          .where(col("fp").isNotNull)
+          .withColumn("weight", col("weight") * penaltyUdf(col("subquery"),
+            col("fp._1")))
+          // as in the full-phrase fuzzy branch: the corrected text becomes
+          // the cover text (dedupe keys and V6 disambiguation see it)
+          .withColumn("subquery", col("fp._2"))
+          .withColumn("phrase", col("cand_phrase"))
+          .withColumn("partial", lit(false))
+          .withColumn("is_prefix", lit(true))
+          .withColumn("is_fuzzy", lit(true))
+          .select(candCols: _*)
+          .distinct()
+      }
+    val candAll = (Seq(exactCand) ++ prefixCand ++ fuzzyCand ++ fuzzyPrefixCand)
       .reduce(_ unionByName _)
     val postings = tagSig(_.postings)
     postings.join(candAll, Seq("qsig", "phrase")).drop("qsig")
@@ -1109,30 +1194,20 @@ object Forward {
     val cfgBc = spark.sparkContext.broadcast((cfgByLayer, ndxByName))
     val langTargetBc = spark.sparkContext.broadcast(langTargetByLayer)
 
-    // Grid rows aggregate to ONE row per (query, window, phrase) BEFORE the
-    // per-query shuffle (collect_list partial-aggregates map-side): the
-    // matched join's grid fan-out (dozens of cover tiles per phrase at
-    // z12-z14) would otherwise repeat the layer/subquery/phrase strings on
-    // every grid row — measured 11.8M rows for 2k queries on the 110k-
-    // entity gazetteer vs ~0.3M after this agg. This is also the reference
+    // The postings are gridstore-shaped (IndexBuilder: one row per
+    // (phrase, lang_set) with packed-long grid arrays built ONCE at index
+    // build), so the candidate join already delivers one row per (query,
+    // window, phrase) with its grids attached — no per-query collect_list
+    // re-aggregation (the round-4 measured hot spot: 55 MB/query allocated
+    // re-materializing hot phrases' grid lists, 8 GiB OOM at 32 threads)
+    // and one less shuffle per forward() call. This is also the reference
     // shape: phrasematch returns PHRASE matches, grids travel as lists.
-    val pmRowsBase = matched.groupBy(
+    val pmRowsBase = matched.select(
         col("queryId"), col("layer"), col("subquery"), col("mask"),
         col("weight"), col("is_prefix").as("prefix"), col("qlen"),
         col("addrPos"), col("addrNum"), col("partial"), col("numberOrder"),
         col("is_fuzzy").as("fuzzy"), col("phrase"),
-        col("lang_set").as("langSet"))
-      .agg(
-        collect_list(
-          shiftleft(col("x").cast("long"), 42)
-            .bitwiseOR(shiftleft(col("y").cast("long"), 28))
-            .bitwiseOR(shiftleft(col("score3").cast("long"), 25))
-            .bitwiseOR(col("id24").cast("long"))).as("gridsA"),
-        collect_list(
-          shiftleft(col("phrase_hash").cast("long")
-              .bitwiseAND(lit(0xFFFFFFFFL)), 2)
-            .bitwiseOR(round((col("relev") - 0.4) / 0.2).cast("long")))
-          .as("gridsB"))
+        col("lang_set").as("langSet"), col("gridsA"), col("gridsB"))
     // with stats on, the phrasematch joins materialize separately so
     // "pm_join" vs "spatialmatch" (coalesce kernel) attribute honestly
     val pmRows = stats match {
@@ -1181,7 +1256,9 @@ object Forward {
                   if (b.length == 4) (b(0), b(1), b(2), b(3))
                   else (-180.0, -85.0, 180.0, 85.0)
                 }) =>
-                val radius = Proximity.scaleRadius(cfg.zoom)
+                val radius =
+                  if (cfg.coalesceRadius > 0) cfg.coalesceRadius
+                  else Proximity.scaleRadius(cfg.zoom)
                 grs0.filter { case (g, _) =>
                   val cLon = Mercator.ll((g.x + 0.5) * Mercator.TileSize, 0, cfg.zoom)._1
                   val cLat = Mercator.ll(0, (g.y + 0.5) * Mercator.TileSize, cfg.zoom)._2
@@ -1211,7 +1288,8 @@ object Forward {
             },
             addrNum, partial, catMatch = cfg.categories.contains(subq),
             addrPos = addrPos, fuzzy = fuzzy,
-            nPhrases = prs.iterator.map(_.phrase).toSet.size)
+            nPhrases = prs.iterator.map(_.phrase).toSet.size,
+            radius = cfg.coalesceRadius)
           }
         }.toVector
       // P1 suppressions, per source (phrasematch.js:385-402): at z>=14 a
@@ -1410,6 +1488,12 @@ object Forward {
     val allowDupes = opts.allowDupes
     val languageMode = opts.languageMode
     val routing = opts.routing
+    // templating context: user-supplied inline helpers + the active
+    // worldview ride into the formatting closures (reference
+    // opts.formatHelpers / getPlaceName's renderObj.worldview)
+    val formatHelpers = opts.formatHelpers
+    val worldviewName =
+      if (opts.worldview.nonEmpty) opts.worldview else index.worldviews.head
     // geocoder-wide max score for the verify scoredist recompute
     // (reference geocoder.maxScore, index.js:343-345)
     val globalMaxScore =
@@ -1714,7 +1798,8 @@ object Forward {
               .orElse(if (anyLangText) langPick(layerFormats) else None)
               .getOrElse(typFmtOf(lead.idx)._2)
           }
-          val placeName = FormatPlace.placeName(ctxFeats, templateFor(language))
+          val placeName = FormatPlace.placeName(ctxFeats,
+            templateFor(language), formatHelpers, worldviewName)
           // multi-language request: place_name per requested language, each
           // with language-selected member text and that language's template
           val placeNames: Map[String, String] =
@@ -1729,7 +1814,8 @@ object Forward {
                   disp(lead.fullText, lead.langTexts, lang), lead.number) +:
                   ctx.map { case (r, _) => FormatPlace.CtxFeat(ctxTyp(r),
                     disp(r.fullText, r.langTexts, lang), r.number) }.toVector
-                lang -> FormatPlace.placeName(feats, templateFor(Some(lang)))
+                lang -> FormatPlace.placeName(feats,
+                  templateFor(Some(lang)), formatHelpers, worldviewName)
               }.toMap
             }
           // matching_place_name (format-features.js:162-183 matched=true):
@@ -1752,7 +1838,8 @@ object Forward {
                 ctx.zip(ctxMatches).map { case ((r, _), m) =>
                   FormatPlace.CtxFeat(ctxTyp(r), m.getOrElse(r.display), r.number)
                 }.toVector
-              FormatPlace.placeName(feats, templateFor(language))
+              FormatPlace.placeName(feats, templateFor(language),
+                formatHelpers, worldviewName)
             }
           }
           // O2 address-unique dedupe key (format-features.js:320-374):

@@ -474,10 +474,13 @@ object Reverse {
         val addrpt =
           if (r.fAddrnum.isEmpty || parts.isEmpty) None
           else AddressCluster.reverse(
-            r.fAddrnum.toVector.zipWithIndex.map { case (nums, k) =>
+            r.fAddrnum.toVector.zipWithIndex.map { case (nums0, k) =>
+              // null slots align non-cluster geometries ([null, [...]])
+              val nums = if (nums0 == null) Vector.empty[String]
+                         else nums0.toVector
               parts.lift(k) match {
-                case Some(Geom.MultiPoint(mp)) => AddressCluster.Part(nums.toVector, mp)
-                case _ => AddressCluster.Part(nums.toVector, Vector.empty,
+                case Some(Geom.MultiPoint(mp)) => AddressCluster.Part(nums, mp)
+                case _ => AddressCluster.Part(nums, Vector.empty,
                   isMultiPoint = false)
               }
             }, r.q_lon, r.q_lat)
@@ -491,7 +494,7 @@ object Reverse {
                 case _ => Vector.empty[Vector[(Double, Double)]]
               }
               def at(v: Seq[Seq[String]]): Vector[String] =
-                if (k < v.length) v(k).toVector else Vector.empty
+                if (k < v.length && v(k) != null) v(k).toVector else Vector.empty
               AddressItp.Part(lines, at(r.fLfromhn), at(r.fLtohn),
                 at(r.fRfromhn), at(r.fRtohn), at(r.fParityl), at(r.fParityr),
                 isMultiLineString = lines.nonEmpty)

@@ -36,7 +36,10 @@ object StackCoalesce {
       catMatch: Boolean = false,// subquery matches a layer category
       addrPos: Int = -1,        // number-token position in the query (V12 sort)
       fuzzy: Boolean = false,   // fuzzy-matched (edit distance > 0)
-      nPhrases: Int = 1         // distinct index phrases merged into this Pm
+      nPhrases: Int = 1,        // distinct index phrases merged into this Pm
+      // geocoder_coalesce_radius of the source (miles); 0 = zoom-scaled
+      // default (reference index.js:381 -> carmen-core coalesce)
+      radius: Double = 0.0
   )
 
   /** One inverted-index grid row (decoded). */
@@ -180,7 +183,8 @@ object StackCoalesce {
         val d = Proximity.distance(plon, plat,
           tileCenterLon(g.x, pm.zoom), tileCenterLat(g.y, pm.zoom),
           g.x, g.y, pm.zoom)
-        (d, Proximity.scoredist(score, 0, math.max(pm.scorefactor, 1.01), d, pm.zoom))
+        (d, Proximity.scoredist(score, 0, math.max(pm.scorefactor, 1.01), d,
+          pm.zoom, pm.radius))
       case None => (0.0, score)
     }
     CoverEntry(g.x, g.y,

@@ -207,6 +207,7 @@ object CarmenSource {
     if (!cfg.geocoderGrantScore) o.put("geocoder_grant_score", false)
     if (cfg.geocoderIgnoreOrder) o.put("geocoder_ignore_order", true)
     if (cfg.geocoderRoutable) o.put("geocoder_routable", true)
+    if (cfg.coalesceRadius > 0) o.put("geocoder_coalesce_radius", cfg.coalesceRadius)
     if (cfg.geocoderTokens.nonEmpty) {
       val t = o.putObject("geocoder_tokens")
       cfg.geocoderTokens.foreach { case (from, spec) => t.put(from, spec.text) }
@@ -248,7 +249,9 @@ object CarmenSource {
         .map(_.asScala.toVector.map(_.asDouble()))
         .getOrElse(Seq(-180.0, -85.0, 180.0, 85.0)),
       geocoderTypes = strs("geocoder_types"),
-      worldview = Option(o.get("geocoder_worldview")).map(_.asText()).getOrElse(""))
+      worldview = Option(o.get("geocoder_worldview")).map(_.asText()).getOrElse(""),
+      coalesceRadius = Option(o.get("geocoder_coalesce_radius"))
+        .map(_.asDouble()).getOrElse(0.0))
   }
 
   // ---------------------------------------------------------------- dirs
