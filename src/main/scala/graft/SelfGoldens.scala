@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * gate rather than sliding through the rows-only check.
   *
   * Hash: columns sorted by name, each row serialized with to_json over the
-  * sorted struct, xxhash64 per row, summed (order-insensitive, overflow
-  * wraps deterministically). All inputs are deterministic (BigGazetteer is
+  * sorted struct, xxhash64 per row, summed as decimal(38,0) (order-
+  * insensitive; ANSI mode would throw on a plain long sum) and reduced mod
+  * 2^63 driver-side. All inputs are deterministic (BigGazetteer is
   * seed-fixed, per-row float math is parallelism-independent), so the hash
   * is stable across thread counts — verified at local[4] and local[32]
   * before freezing.
@@ -24,8 +25,13 @@ object SelfGoldens {
   def contentHash(df: DataFrame): Golden = {
     val cols = df.columns.sorted.map(c => col("`" + c + "`"))
     val agg = df.select(xxhash64(to_json(struct(cols: _*))).as("h"))
-      .agg(count(lit(1)).as("n"), sum(col("h")).as("s")).head()
-    Golden(agg.getLong(0), if (agg.isNullAt(1)) 0L else agg.getLong(1))
+      .agg(count(lit(1)).as("n"),
+        sum(col("h").cast("decimal(38,0)")).as("s")).head()
+    val s =
+      if (agg.isNullAt(1)) 0L
+      else agg.getDecimal(1).toBigInteger
+        .mod(java.math.BigInteger.TWO.pow(63)).longValueExact()
+    Golden(agg.getLong(0), s)
   }
 
   private val entry = """"([^"]+)"\s*:\s*\{\s*"rows"\s*:\s*(-?\d+)\s*,\s*"hash"\s*:\s*(-?\d+)\s*\}""".r
