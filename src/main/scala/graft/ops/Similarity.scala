@@ -119,29 +119,62 @@ object Similarity {
   /** All pairs with cosine similarity above a threshold (ids only — floats
     * never leave the plan, so results are engine-exact).
     *
-    * Implemented as a per-partition kernel over an explicitly broadcast,
-    * pre-normalized corpus: the per-pair UDF route costs ~60us/pair in
-    * array deserialization alone (measured), versus ~100ns/pair here. This
-    * is the one genuinely imperative hot loop; the corpus side must fit in
-    * a broadcast (same precondition as a broadcast join) — above that,
-    * use LSH bucketing ([[annLsh]]).
+    * Exact all-pairs is inherently quadratic; the scalable EXACT shape is
+    * a block-pair shuffle join: hash each vector into one of K blocks,
+    * replicate it to the K block-pair groups it participates in, and run
+    * the fused dot-product kernel (~100ns/pair; the per-pair UDF route
+    * costs ~60us/pair in array deserialization alone, measured) inside
+    * each group. No driver collect, no single-node broadcast bound: a
+    * group holds at most two blocks (~2*BlockRows vectors), executors
+    * never see more, and the K*(K+1)/2 groups spread over the cluster.
+    * Replication factor is K (the unavoidable data movement of all-pairs
+    * without a full broadcast). Above exact-tractable sizes, use LSH
+    * bucketing ([[annLshMulti]]) — the candidate-pruned route.
     */
+  val PairsBlockRows = 8192
+
   def cosinePairsAbove(df: DataFrame, threshold: Double,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
-    val corpus = vecs.collect().map { case (id, v) => (id, normalized(v)) }
-    val bc = spark.sparkContext.broadcast(corpus)
-    vecs.mapPartitions { it =>
-      val cs = bc.value
-      it.flatMap { case (ida, raw) =>
-        val va = normalized(raw)
-        cs.iterator.filter(_._1 > ida).collect {
-          case (idb, vb) if dotD(va, vb) > threshold => (ida, idb)
+    val n = vecs.count()
+    val k = math.max(1L, (n + PairsBlockRows - 1) / PairsBlockRows).toInt
+    vecs
+      .flatMap { case (id, raw) =>
+        val v = normalized(raw)
+        val b = (java.lang.Long.hashCode(id) & Int.MaxValue) % k
+        // one row per block-pair group this vector joins: (b,o) for every
+        // o, normalized to p<=q — k distinct keys, (b,b) exactly once
+        (0 until k).iterator.map { o =>
+          val (p, q) = if (b <= o) (b, o) else (o, b)
+          (p.toLong * k + q, b, id, v)
         }
       }
-    }.toDF("id_a", "id_b")
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val p = (key / k).toInt
+        val q = (key % k).toInt
+        val rows = it.toArray
+        if (p == q) {
+          // within-block pairs, id-ordered
+          for {
+            i <- rows.indices.iterator
+            j <- (i + 1) until rows.length
+            if dotD(rows(i)._4, rows(j)._4) > threshold
+          } yield if (rows(i)._3 < rows(j)._3) (rows(i)._3, rows(j)._3)
+                  else (rows(j)._3, rows(i)._3)
+        } else {
+          val left = rows.filter(_._2 == p)
+          val right = rows.filter(_._2 == q)
+          for {
+            a <- left.iterator
+            b <- right.iterator
+            if dotD(a._4, b._4) > threshold
+          } yield if (a._3 < b._3) (a._3, b._3) else (b._3, a._3)
+        }
+      }
+      .toDF("id_a", "id_b")
   }
 
   private def normalized(v: Array[Float]): Array[Double] = {
