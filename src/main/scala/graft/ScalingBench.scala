@@ -104,18 +104,31 @@ object ScalingBench {
       graft.query.Forward.forward(spark, index, qs, stats = st).count()
     }
     geocode(NQueries, None)
-    // measured run carries the O3 stats surface: per-stage wall time +
-    // counts become per-stage throughput in the JSON line; the allocation
-    // delta tests whether the stage is bound by the same memory-bandwidth
-    // ceiling as ingest (same-rate allocation at 8 and 32 threads = yes)
-    val gstats = new graft.query.Forward.GeocodeStats()
+    // timed run is the PRODUCTION path (stats off): the O3 stats surface
+    // adds two localCheckpoint barriers per forward() for honest stage
+    // attribution, which is measurement overhead, not engine throughput.
+    // The allocation delta tests whether the stage is bound by the same
+    // memory-bandwidth ceiling as ingest (same-rate allocation at 8 and
+    // 32 threads = yes).
     val galloc0 = allocatedBytes()
-    val tB = time(geocode(NQueries, Some(gstats)))
+    val tB = time(geocode(NQueries, None))
     val gallocDelta = allocatedBytes() - galloc0
     System.err.println(f"[scaling cpus=$cpus] geocode ${NQueries}: ${tB}s " +
-      f"alloc=${gallocDelta / 1e9}%.2fGB rate=${gallocDelta / tB / 1e9}%.2fGB/s [$gstats]")
-    lastGeocodeStats = gstats.stageSeconds.toMap +
-      ("alloc_gb_per_sec" -> gallocDelta / tB / 1e9)
+      f"alloc=${gallocDelta / 1e9}%.2fGB rate=${gallocDelta / tB / 1e9}%.2fGB/s")
+    // separate attribution pass (per-stage seconds via O3 stats); its own
+    // wall time is reported as stats_total, never as throughput. Skippable
+    // for very large query counts (SPARK_GRAFT_SCALE_STATS=0).
+    lastGeocodeStats =
+      if (sys.env.get("SPARK_GRAFT_SCALE_STATS").contains("0"))
+        Map("alloc_gb_per_sec" -> gallocDelta / tB / 1e9)
+      else {
+        val gstats = new graft.query.Forward.GeocodeStats()
+        val tStats = time(geocode(NQueries, Some(gstats)))
+        System.err.println(f"[scaling cpus=$cpus] geocode stats pass: ${tStats}s [$gstats]")
+        gstats.stageSeconds.toMap ++ Map(
+          "alloc_gb_per_sec" -> gallocDelta / tB / 1e9,
+          "stats_total" -> tStats)
+      }
 
     // C. bulk tile assignment: map-only mercator math, aggregated without
     // grouping so the measurement is the codegen scan itself

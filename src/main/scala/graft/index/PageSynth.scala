@@ -123,6 +123,159 @@ object PageSynth {
     "<script type=\"application/geo+json\">".getBytes("UTF-8")
   private val GeoScriptClose = "</script>".getBytes("UTF-8")
 
+  /** Parsed geo payload (mutable holder reused per partition — the row
+    * tuple copies the fields out, so reuse is safe).
+    */
+  private final class GeoPayload {
+    var layer: String = null; var id = 0L; var name: String = null
+    var score = 0.0; var lon = 0.0; var lat = 0.0; var geometry: String = null
+  }
+
+  /** Minimal single-pass JSON scanner for the flat geo payload: scalar
+    * fields (string/number, any order) plus raw-span capture of the one
+    * nested value ("geometry"). Replaces Jackson readTree in the ingest
+    * hot loop — the round-4/5 allocation measurement showed the per-doc
+    * node tree + geometry re-serialization dominating ingest allocation
+    * (the stage's 8->32 scaling is memory-bandwidth-bound, so bytes/doc
+    * is the scaling lever, not just CPU). Standard JSON: whitespace,
+    * string escapes, nested objects/arrays in skipped fields all handled;
+    * returns false (caller falls back or drops) on malformed input.
+    */
+  private def parseGeoPayload(b: Array[Byte], from: Int, to: Int,
+                              out: GeoPayload): Boolean = {
+    // reset the reused holder so a missing field can't inherit the
+    // previous row's value
+    out.layer = null; out.id = 0L; out.name = null
+    out.score = 0.0; out.lon = 0.0; out.lat = 0.0; out.geometry = null
+    var i = from
+    def skipWs(): Unit = {
+      while (i < to && (b(i) == ' ' || b(i) == '\n' || b(i) == '\t' || b(i) == '\r')) i += 1
+    }
+    // returns the decoded string and advances i past the closing quote
+    def readString(): String = {
+      if (i >= to || b(i) != '"') return null
+      i += 1
+      val start = i
+      var hasEsc = false
+      while (i < to && b(i) != '"') {
+        if (b(i) == '\\') { hasEsc = true; i += 2 } else i += 1
+      }
+      if (i >= to) return null
+      val raw = i
+      i += 1 // past closing quote
+      if (!hasEsc) new String(b, start, raw - start, java.nio.charset.StandardCharsets.UTF_8)
+      else {
+        val sb = new java.lang.StringBuilder(raw - start)
+        var j = start
+        while (j < raw) {
+          val c = b(j)
+          if (c == '\\' && j + 1 < raw) {
+            j += 1
+            (b(j): @annotation.switch) match {
+              case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+              case 'r' => sb.append('\r'); case 'b' => sb.append('\b')
+              case 'f' => sb.append('\f')
+              case 'u' =>
+                if (j + 4 < raw) {
+                  val hex = new String(b, j + 1, 4, java.nio.charset.StandardCharsets.US_ASCII)
+                  sb.append(Integer.parseInt(hex, 16).toChar); j += 4
+                }
+              case other => sb.append(other.toChar)
+            }
+            j += 1
+          } else {
+            // multi-byte UTF-8 inside an escaped string: decode just this
+            // one sequence (the remainder may hold more escapes)
+            if (c < 0) {
+              val len =
+                if ((c & 0xE0) == 0xC0) 2
+                else if ((c & 0xF0) == 0xE0) 3
+                else if ((c & 0xF8) == 0xF0) 4
+                else 1
+              val end = math.min(j + len, raw)
+              sb.append(new String(b, j, end - j, java.nio.charset.StandardCharsets.UTF_8))
+              j = end
+            } else { sb.append(c.toChar); j += 1 }
+          }
+        }
+        sb.toString
+      }
+    }
+    def readNumber(): Double = {
+      val start = i
+      while (i < to && (b(i) == '-' || b(i) == '+' || b(i) == '.' ||
+        b(i) == 'e' || b(i) == 'E' || (b(i) >= '0' && b(i) <= '9'))) i += 1
+      if (i == start) Double.NaN
+      else java.lang.Double.parseDouble(
+        new String(b, start, i - start, java.nio.charset.StandardCharsets.US_ASCII))
+    }
+    // skip any JSON value; returns false on malformed input
+    def skipValue(): Boolean = {
+      skipWs()
+      if (i >= to) return false
+      b(i) match {
+        case '"' => readString() != null
+        case '{' | '[' =>
+          var depth = 0
+          var inStr = false
+          while (i < to) {
+            val c = b(i)
+            if (inStr) {
+              if (c == '\\') i += 1
+              else if (c == '"') inStr = false
+            } else c match {
+              case '"' => inStr = true
+              case '{' | '[' => depth += 1
+              case '}' | ']' =>
+                depth -= 1
+                if (depth == 0) { i += 1; return true }
+              case _ =>
+            }
+            i += 1
+          }
+          false
+        case _ =>
+          while (i < to && b(i) != ',' && b(i) != '}' && b(i) != ']' &&
+            b(i) != ' ' && b(i) != '\n' && b(i) != '\t' && b(i) != '\r') i += 1
+          true
+      }
+    }
+    skipWs()
+    if (i >= to || b(i) != '{') return false
+    i += 1
+    var done = false
+    while (!done) {
+      skipWs()
+      if (i >= to) return false
+      if (b(i) == '}') { i += 1; done = true }
+      else {
+        val fname = readString()
+        if (fname == null) return false
+        skipWs()
+        if (i >= to || b(i) != ':') return false
+        i += 1
+        skipWs()
+        fname match {
+          case "layer" => out.layer = readString(); if (out.layer == null) return false
+          case "name" => out.name = readString(); if (out.name == null) return false
+          case "id" => out.id = readNumber().toLong
+          case "score" => out.score = readNumber()
+          case "lon" => out.lon = readNumber()
+          case "lat" => out.lat = readNumber()
+          case "geometry" =>
+            val start = i
+            if (!skipValue()) return false
+            out.geometry = new String(b, start, i - start,
+              java.nio.charset.StandardCharsets.UTF_8)
+          case _ => if (!skipValue()) return false
+        }
+        skipWs()
+        if (i < to && b(i) == ',') i += 1
+      }
+    }
+    out.layer != null && out.name != null && out.geometry != null
+  }
+
   private def indexOfBytes(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
     val limit = hay.length - needle.length
     var i = math.max(from, 0)
@@ -142,14 +295,17 @@ object PageSynth {
     * The hot loop is allocation-lean by design (the ingest stage is the
     * most 100 TB-shaped path): the geo payload is located with a byte-level
     * marker scan — no full-page String materialization, no DOTALL regex —
-    * and Jackson parses the payload span directly from the page bytes.
+    * and the single-pass scanner parses the payload span directly from the
+    * page bytes (no per-doc node tree).
     */
   def extract(spark: SparkSession, pages: DataFrame): DataFrame = {
     import spark.implicits._
     val parsed = pages.select(col("url"), col("html"), col("text")).as[(String, Array[Byte], String)]
       .mapPartitions { it =>
-        // one Jackson mapper per partition, not per row
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        // one reusable payload holder per partition; per-doc allocation is
+        // the output strings only (no Jackson node tree, no geometry
+        // re-serialization — the measured ingest allocation hot spot)
+        val payload = new GeoPayload
         it.flatMap { case (url, html, text) =>
           val open = indexOfBytes(html, GeoScriptOpen, 0)
           if (open < 0) None
@@ -157,14 +313,10 @@ object PageSynth {
             val jsonStart = open + GeoScriptOpen.length
             val end = indexOfBytes(html, GeoScriptClose, jsonStart)
             if (end < 0) None
-            else {
-              val node = mapper.readTree(html, jsonStart, end - jsonStart)
-              Some((url, text,
-                node.get("layer").asText(), node.get("id").asLong(),
-                node.get("name").asText(), node.get("score").asDouble(),
-                node.get("geometry").toString,
-                node.get("lon").asDouble(), node.get("lat").asDouble()))
-            }
+            else if (parseGeoPayload(html, jsonStart, end, payload))
+              Some((url, text, payload.layer, payload.id, payload.name,
+                payload.score, payload.geometry, payload.lon, payload.lat))
+            else None
           }
         }
       }

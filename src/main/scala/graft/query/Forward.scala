@@ -173,23 +173,23 @@ object Forward {
                         // may spend an edit on this window
                         fuzzyOk: Boolean = true)
 
-  /** One decoded posting grid (numeric payload of a phrase match). */
-  final case class GridLite(relev: Double, score3: Int, id24: Long,
-                            x: Int, y: Int, phraseHash: Int)
-
   /** Two-long packed grid (the pm_join aggregation hot spot measured in
     * SCALING_r4.json: ~56B struct per grid -> 16B in primitive long
     * arrays). A = x(14)<<42 | y(14)<<28 | score3(3)<<25 | id24(25);
     * B = unsigned phraseHash(32)<<2 | relev2(2), relev 0.2-quantized at
     * index time (Phrases.scala enumerate: jsRound(relev*5)/5, >=0.8).
+    * Decodes straight to the spatialmatch GridRow — one allocation per
+    * grid in the per-query hot loop (no intermediate holder/tuple).
     */
-  def decodeGrid(a: Long, b: Long): GridLite = GridLite(
-    relev = JsNum.toFixed1(0.4 + (b & 3L) * 0.2),
-    score3 = ((a >> 25) & 7L).toInt,
-    id24 = a & 0x1FFFFFFL,
-    x = ((a >> 42) & 0x3FFFL).toInt,
-    y = ((a >> 28) & 0x3FFFL).toInt,
-    phraseHash = ((b >> 2) & 0xFFFFFFFFL).toInt)
+  def decodeGrid(a: Long, b: Long, matchesLanguage: Boolean): StackCoalesce.GridRow =
+    StackCoalesce.GridRow(
+      x = ((a >> 42) & 0x3FFFL).toInt,
+      y = ((a >> 28) & 0x3FFFL).toInt,
+      relev = JsNum.toFixed1(0.4 + (b & 3L) * 0.2),
+      score3 = ((a >> 25) & 7L).toInt,
+      id24 = a & 0x1FFFFFFL,
+      phraseHash = ((b >> 2) & 0xFFFFFFFFL).toInt,
+      matchesLanguage = matchesLanguage)
 
   /** One (query window, phrase) match with its grid list — the per-query
     * spatialmatch input (the reference's phrasematch result shape:
@@ -1236,12 +1236,21 @@ object Forward {
       val pms = rows.groupBy(r => (r.layer, r.mask, r.subquery, r.prefix,
           r.addrNum, r.partial, r.numberOrder, r.addrPos, r.fuzzy))
         .flatMap { case ((layer, mask, subq, pfx, addrNum, partial, numberOrder, addrPos, fuzzy), prs) =>
-          // flatten the per-phrase grid lists back to grid entries
-          val grs0: Vector[(GridLite, String)] =
-            prs.toVector.flatMap(pr =>
-              pr.gridsA.iterator.zip(pr.gridsB.iterator)
-                .map { case (a, b) => (decodeGrid(a, b), pr.langSet) }.toVector)
           val (cfg, scorefactor) = cfgs(layer)
+          val target = langTargetBc.value.getOrElse(layer, "default")
+          // flatten the per-phrase grid lists back to grid entries;
+          // matchesLanguage is a per-PHRASE-row fact, so the lang_set
+          // split happens once per row, not once per grid (hot phrases
+          // carry thousands of grids)
+          val grs0: Vector[StackCoalesce.GridRow] =
+            prs.toVector.flatMap { pr =>
+              val ml = pr.langSet.isEmpty || {
+                val langs = pr.langSet.split(",")
+                langs.contains("all") || langs.contains(target)
+              }
+              pr.gridsA.iterator.zip(pr.gridsB.iterator)
+                .map { case (a, b) => decodeGrid(a, b, ml) }
+            }
           // partial-number searches require the proximity point INSIDE the
           // source bounds (proxMatch, phrasematch.js:46-48, 207) and keep
           // only grids near the proximity point (nearby_only — the
@@ -1259,7 +1268,7 @@ object Forward {
                 val radius =
                   if (cfg.coalesceRadius > 0) cfg.coalesceRadius
                   else Proximity.scaleRadius(cfg.zoom)
-                grs0.filter { case (g, _) =>
+                grs0.filter { g =>
                   val cLon = Mercator.ll((g.x + 0.5) * Mercator.TileSize, 0, cfg.zoom)._1
                   val cLat = Mercator.ll(0, (g.y + 0.5) * Mercator.TileSize, cfg.zoom)._2
                   Proximity.distance(plon, plat, cLon, cLat, g.x, g.y, cfg.zoom) < radius
@@ -1275,17 +1284,10 @@ object Forward {
             if (cfg.expectedNumberOrder.nonEmpty && numberOrder.nonEmpty &&
               numberOrder != cfg.expectedNumberOrder) w0 * 0.99
             else w0
-          val target = langTargetBc.value.getOrElse(layer, "default")
           StackCoalesce.Pm(layer, cfg.idx, ndxs(layer), cfg.nonOverlapping,
             cfg.zoom, subq, mask, weight, pfx,
             math.max(scorefactor, 1.0),
-            grs.map { case (g, langSet) =>
-              val langs = langSet.split(",")
-              StackCoalesce.GridRow(g.x, g.y, g.relev, g.score3,
-                g.id24, g.phraseHash,
-                matchesLanguage = langSet.isEmpty ||
-                  langs.contains("all") || langs.contains(target))
-            },
+            grs,
             addrNum, partial, catMatch = cfg.categories.contains(subq),
             addrPos = addrPos, fuzzy = fuzzy,
             nPhrases = prs.iterator.map(_.phrase).toSet.size,

@@ -82,48 +82,67 @@ object StackCoalesce {
     * and coarser-zoom grids are tile-ancestors of the finest grid
     * (x >> dz containment). Returns at most `cap` best contexts.
     */
+  /** Best grid per tile for one Pm, keyed (x << 32 | y) — primitive-keyed
+    * LongMap, no tuple boxing. Memoized per Pm instance across the stacks
+    * of one spatialmatch call (stacks share Pm instances, so rebuilding
+    * this map per stack was the kernel's main avoidable allocation; the
+    * 50k-query scaling run puts spatialmatch at ~65% of geocode time).
+    */
+  private def tileMap(pm: Pm): mutable.LongMap[GridRow] = {
+    val m = new mutable.LongMap[GridRow](math.max(8, pm.grids.length))
+    pm.grids.foreach { g =>
+      val k = (g.x.toLong << 32) | (g.y.toLong & 0xffffffffL)
+      val cur = m.getOrNull(k)
+      if ((cur eq null) || better(g, cur)) m(k) = g
+    }
+    m
+  }
+
   def coalesceStack(stack: Vector[Pm], proximity: Option[(Double, Double)],
                     bbox: Option[(Int, Int, Int, Int, Int)],
-                    cap: Int = SpatialmatchStackLimit): Vector[StackResult] = {
+                    cap: Int = SpatialmatchStackLimit,
+                    lookupOf: Pm => mutable.LongMap[GridRow] = tileMap)
+  : Vector[StackResult] = {
     val byZoom = stack.sortBy(pm => (pm.zoom, pm.idx))
     val finest = byZoom.last
     val coarser = byZoom.init
 
     // per coarser member: best grid per tile (relev, then score, then id)
-    val lookups: Vector[(Pm, Map[(Int, Int), GridRow])] = coarser.map { pm =>
-      val m = mutable.HashMap.empty[(Int, Int), GridRow]
-      pm.grids.foreach { g =>
-        val k = (g.x, g.y)
-        val cur = m.get(k)
-        if (cur.isEmpty || better(g, cur.get)) m(k) = g
-      }
-      (pm, m.toMap)
-    }
+    val lookups: Vector[(Pm, mutable.LongMap[GridRow])] =
+      coarser.map(pm => (pm, lookupOf(pm)))
 
     val results = mutable.ArrayBuffer.empty[StackResult]
+    // probe buffer reused across grids: coarser matches land here so the
+    // common incomplete case (finest grid with no full ancestor coverage)
+    // allocates NOTHING — no CoverEntry, no builder, no distance trig
+    val matchedGrids = new Array[GridRow](lookups.length)
     finest.grids.foreach { g =>
       if (inBbox(g, finest.zoom, bbox)) {
-        var entries = Vector.newBuilder[CoverEntry]
-        var relevSum = 0.0
         var complete = true
-        // lead entry: the finest member's grid
-        val lead = mkEntry(finest, g, proximity)
-        entries += lead
-        relevSum += lead.relev
-        lookups.foreach { case (pm, m) =>
-          if (complete) {
-            val dz = finest.zoom - pm.zoom
-            val key = (g.x >> dz, g.y >> dz)
-            m.get(key) match {
-              case Some(pg) =>
-                val e = mkEntry(pm, pg, proximity)
-                entries += e
-                relevSum += e.relev
-              case None => complete = false
-            }
-          }
+        var li = 0
+        while (complete && li < lookups.length) {
+          val (pm, m) = lookups(li)
+          val dz = finest.zoom - pm.zoom
+          val key = ((g.x >> dz).toLong << 32) | ((g.y >> dz).toLong & 0xffffffffL)
+          val pg = m.getOrNull(key)
+          if (pg eq null) complete = false
+          else matchedGrids(li) = pg
+          li += 1
         }
         if (complete) {
+          val entries = Vector.newBuilder[CoverEntry]
+          var relevSum = 0.0
+          // lead entry: the finest member's grid
+          val lead = mkEntry(finest, g, proximity)
+          entries += lead
+          relevSum += lead.relev
+          li = 0
+          while (li < lookups.length) {
+            val e = mkEntry(lookups(li)._1, matchedGrids(li), proximity)
+            entries += e
+            relevSum += e.relev
+            li += 1
+          }
           // covers[0] is the feature verify loads (reference
           // verifymatch.js:239) — order by contribution, most specific first
           val covers = entries.result()
@@ -151,6 +170,74 @@ object StackCoalesce {
     val seen = mutable.HashSet.empty[Long]
     val deduped = sorted.filter(r => seen.add(r.covers.head.tmpid))
     deduped.take(cap).toVector
+  }
+
+  /** Winner holder for the single-member fast path (one per surviving
+    * feature, not per grid).
+    */
+  private final class BestSingle(var g: GridRow, var relev: Double,
+                                 var scoredist: Double, var packed: Long,
+                                 var seq: Int)
+
+  /** Single-member stack coalesce (carmen-core coalesce_single): identical
+    * results to coalesceStack on a 1-stack — every in-bbox grid is a
+    * complete context — but tracks only the best grid per feature (tmpid),
+    * so the per-grid cost is pure arithmetic; CoverEntry/StackResult
+    * allocate only for the <= |features| winners. Hot phrases carry
+    * thousands of grids, and single-member stacks dominate the stack count,
+    * so this is the spatialmatch kernel's main allocation lever.
+    * Tie semantics match coalesceStack exactly: first-seen wins equal keys
+    * (the stable sort + first-per-tmpid dedupe there), and the final order
+    * breaks full-key ties by the winning grid's iteration ordinal.
+    */
+  private def coalesceSingle(pm: Pm, proximity: Option[(Double, Double)],
+                             bbox: Option[(Int, Int, Int, Int, Int)],
+                             cap: Int): Vector[StackResult] = {
+    val best = new mutable.LongMap[BestSingle](64)
+    var seq = 0
+    pm.grids.foreach { g =>
+      if (inBbox(g, pm.zoom, bbox)) {
+        // same arithmetic as mkEntry, allocation-free
+        val score = GridCodec.decode3BitLogScale(g.score3, pm.scorefactor)
+        val gridRelev = if (g.matchesLanguage) g.relev else g.relev * LanguagePenalty
+        val relev = JsNum.roundTo(gridRelev * pm.weight, 8)
+        val scoredist = proximity match {
+          case Some((plon, plat)) =>
+            val d = Proximity.distance(plon, plat,
+              tileCenterLon(g.x, pm.zoom), tileCenterLat(g.y, pm.zoom),
+              g.x, g.y, pm.zoom)
+            Proximity.scoredist(score, 0, math.max(pm.scorefactor, 1.01), d,
+              pm.zoom, pm.radius)
+          case None => score
+        }
+        val packed = (g.y.toLong << 34) | (g.x.toLong << 20) | g.id24
+        val tmpid = GridCodec.tmpid(pm.idx, g.id24)
+        val cur = best.getOrNull(tmpid)
+        if (cur eq null)
+          best(tmpid) = new BestSingle(g, relev, scoredist, packed, seq)
+        else if (relev > cur.relev ||
+          (relev == cur.relev && (scoredist > cur.scoredist ||
+            (scoredist == cur.scoredist && packed > cur.packed)))) {
+          cur.g = g; cur.relev = relev; cur.scoredist = scoredist
+          cur.packed = packed; cur.seq = seq
+        }
+        seq += 1
+      }
+    }
+    val winners = best.values.toArray
+    java.util.Arrays.sort(winners, new java.util.Comparator[BestSingle] {
+      def compare(a: BestSingle, b: BestSingle): Int = {
+        if (a.relev != b.relev) java.lang.Double.compare(b.relev, a.relev)
+        else if (a.scoredist != b.scoredist) java.lang.Double.compare(b.scoredist, a.scoredist)
+        else if (a.packed != b.packed) java.lang.Long.compare(b.packed, a.packed)
+        else Integer.compare(a.seq, b.seq)
+      }
+    })
+    winners.iterator.take(cap).map { w =>
+      val lead = mkEntry(pm, w.g, proximity)
+      val sd = if (pm.partial) lead.scoredist * 300 else lead.scoredist
+      StackResult(0L, lead.relev, sd, Vector(lead))
+    }.toVector
   }
 
   private def better(a: GridRow, b: GridRow): Boolean =
@@ -238,11 +325,19 @@ object StackCoalesce {
                    bbox: Option[(Int, Int, Int, Int, Int)] = None,
                    stackLimit: Int = SpatialmatchStackLimit): Vector[StackResult] = {
     val stacks = stackable(pms)
+    // per-Pm tile maps built once per query, shared across its stacks
+    val memo = new java.util.IdentityHashMap[Pm, mutable.LongMap[GridRow]]()
+    def memoTileMap(pm: Pm): mutable.LongMap[GridRow] = {
+      var m = memo.get(pm)
+      if (m == null) { m = tileMap(pm); memo.put(pm, m) }
+      m
+    }
     // single-member stacks keep up to 40 contexts (carmen-core
     // coalesce_single MAX_CONTEXTS — observable in geocode-unit.limit:
     // 20 same-phrase places must all surface); multi-member stacks cap 4
     val all = stacks.flatMap(s =>
-      coalesceStack(s, proximity, bbox, cap = if (s.length == 1) 40 else 4))
+      if (s.length == 1) coalesceSingle(s.head, proximity, bbox, cap = 40)
+      else coalesceStack(s, proximity, bbox, cap = 4, lookupOf = memoTileMap))
       .map(r => rebalance(queryLength, r))
       // category bump: a small relevance bump for queries matching a layer's
       // geocoder_categories, clamped at 1 (reference phrasematch.js:348-355
