@@ -30,6 +30,20 @@ object ProbeShuffle {
     }
     index.allTileFeatures.count()
 
+    // Total bytes allocated across live JVM threads (HotSpot
+    // com.sun.management.ThreadMXBean) — task threads are pooled in local
+    // mode, so a before/after delta over the measured run captures its
+    // allocation volume. Unlike task CPU (inflated 1.4x run-to-run by host
+    // contention on this box), the allocation delta is deterministic per
+    // plan shape, so it is the primary A/B number for allocation work.
+    def allocatedBytes(): Long =
+      java.lang.management.ManagementFactory.getThreadMXBean match {
+        case tmx: com.sun.management.ThreadMXBean =>
+          tmx.getAllThreadIds.map(id =>
+            math.max(0L, tmx.getThreadAllocatedBytes(id))).sum
+        case _ => 0L
+      }
+
     val shufWrite = new LongAdder; val shufRead = new LongAdder
     val cpuNs = new LongAdder; val tasks = new LongAdder
     val listener = new SparkListener {
@@ -51,14 +65,16 @@ object ProbeShuffle {
     run() // warm (codegen + caches), unmeasured
 
     spark.sparkContext.addSparkListener(listener)
+    val alloc0 = allocatedBytes()
     val t0 = System.nanoTime()
     val rows = run()
     val wall = (System.nanoTime() - t0) / 1e9
+    val allocGb = (allocatedBytes() - alloc0) / 1e9
     // drain queued listener events before reading the adders (listenerBus
     // is spark-private; a short sleep suffices — task-end events for a
     // completed job flush within milliseconds)
     Thread.sleep(3000)
-    println(f"""{"metric":"forward_shuffle_probe","cpus":"$cpus","queries":$n,"rows":$rows,"shuffle_write_mb":${shufWrite.sum / 1e6}%.1f,"shuffle_read_mb":${shufRead.sum / 1e6}%.1f,"task_cpu_sec":${cpuNs.sum / 1e9}%.1f,"tasks":${tasks.sum},"wall_sec":$wall%.1f}""")
+    println(f"""{"metric":"forward_shuffle_probe","cpus":"$cpus","queries":$n,"rows":$rows,"shuffle_write_mb":${shufWrite.sum / 1e6}%.1f,"shuffle_read_mb":${shufRead.sum / 1e6}%.1f,"task_cpu_sec":${cpuNs.sum / 1e9}%.1f,"tasks":${tasks.sum},"alloc_gb":$allocGb%.1f,"wall_sec":$wall%.1f}""")
     spark.stop()
   }
 }

@@ -29,7 +29,7 @@ object GridCodec {
   }
 
   def decode(num: Long): Grid = Grid(
-    relev = JsNum.toFixed1(0.4 + (num / mp51) * 0.2),
+    relev = JsNum.relev2Bit((num / mp51).toInt),
     score = ((num % mp51) / mp48).toInt,
     x = ((num % mp34) / mp20).toInt,
     y = ((num % mp48) / mp34).toInt,

@@ -56,4 +56,14 @@ object JsNum {
     new java.math.BigDecimal(d)
       .setScale(1, java.math.RoundingMode.HALF_UP)
       .doubleValue()
+
+  /** `toFixed1(0.4 + k * 0.2)` for k = 0..3 — the COMPLETE input domain of
+    * the 2-bit grid relev decode (grid.js:35). Precomputed through the same
+    * BigDecimal route so the per-grid decode is exact-by-construction AND
+    * allocation-free: the BigDecimal/BigInteger churn of calling toFixed1
+    * per decoded grid measured ~32 GB of a 10k-query forward batch's
+    * allocation (JFR ObjectAllocationSample), all of it from this one
+    * 4-value function.
+    */
+  val relev2Bit: Array[Double] = Array.tabulate(4)(k => toFixed1(0.4 + k * 0.2))
 }

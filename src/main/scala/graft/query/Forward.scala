@@ -185,7 +185,7 @@ object Forward {
     StackCoalesce.GridRow(
       x = ((a >> 42) & 0x3FFFL).toInt,
       y = ((a >> 28) & 0x3FFFL).toInt,
-      relev = JsNum.toFixed1(0.4 + (b & 3L) * 0.2),
+      relev = JsNum.relev2Bit((b & 3L).toInt),
       score3 = ((a >> 25) & 7L).toInt,
       id24 = a & 0x1FFFFFFL,
       phraseHash = ((b >> 2) & 0xFFFFFFFFL).toInt,
