@@ -64,28 +64,70 @@ object Fuzzy {
   /** Restricted Damerau-Levenshtein distance, capped at 2 (we only need
     * <= 1 decisions; returns 2 for anything worse).
     */
-  def dlDistanceLe1(a: String, b: String): Int = {
-    if (a == b) return 0
-    val la = a.length
-    val lb = b.length
+  def dlDistanceLe1(a: String, b: String): Int =
+    dlRegionLe1(a, 0, a.length, b, 0, b.length)
+
+  // --- allocation-free region kernels -------------------------------------
+  // The fuzzy verifiers run once per candidate pair inside the phrasematch
+  // join (millions of calls per forward batch); JFR attributed ~9% of the
+  // measured forward-batch allocation to their String.split word arrays.
+  // These kernels walk [start, end) regions of the original strings instead:
+  // the reject path (the overwhelmingly common case) allocates nothing, and
+  // accept paths allocate only the returned result.
+
+  @inline private def regionEq(a: String, a0: Int, a1: Int,
+                               b: String, b0: Int, b1: Int): Boolean =
+    (a1 - a0) == (b1 - b0) && a.regionMatches(a0, b, b0, a1 - a0)
+
+  @inline private def fuzzableRegion(s: String, i0: Int, i1: Int): Boolean = {
+    var i = i0
+    while (i < i1) {
+      if (s.charAt(i).isDigit) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Word count under split(" ", -1) semantics: spaces + 1. */
+  @inline private def wordCount(s: String): Int = {
+    var c = 1; var i = 0
+    while (i < s.length) { if (s.charAt(i) == ' ') c += 1; i += 1 }
+    c
+  }
+
+  /** End of the word starting at `from` (index of the next space, or
+    * s.length).
+    */
+  @inline private def wordEnd(s: String, from: Int): Int = {
+    val i = s.indexOf(' ', from)
+    if (i < 0) s.length else i
+  }
+
+  /** [[dlDistanceLe1]] over string regions a[a0,a1) vs b[b0,b1). */
+  def dlRegionLe1(a: String, a0: Int, a1: Int,
+                  b: String, b0: Int, b1: Int): Int = {
+    val la = a1 - a0
+    val lb = b1 - b0
     if (math.abs(la - lb) > 1) return 2
     if (la == lb) {
-      // one substitution or one adjacent transposition
       var i = 0
-      while (i < la && a.charAt(i) == b.charAt(i)) i += 1
+      while (i < la && a.charAt(a0 + i) == b.charAt(b0 + i)) i += 1
       // i = first mismatch
       if (i == la) return 0
       // substitution at i?
-      if (a.regionMatches(i + 1, b, i + 1, la - i - 1)) return 1
+      if (a.regionMatches(a0 + i + 1, b, b0 + i + 1, la - i - 1)) return 1
       // transposition at i?
-      if (i + 1 < la && a.charAt(i) == b.charAt(i + 1) && a.charAt(i + 1) == b.charAt(i) &&
-        a.regionMatches(i + 2, b, i + 2, la - i - 2)) return 1
+      if (i + 1 < la && a.charAt(a0 + i) == b.charAt(b0 + i + 1) &&
+        a.charAt(a0 + i + 1) == b.charAt(b0 + i) &&
+        a.regionMatches(a0 + i + 2, b, b0 + i + 2, la - i - 2)) return 1
       2
     } else {
-      val (s, l) = if (la < lb) (a, b) else (b, a) // s shorter by 1
+      // s = shorter by 1, l = longer
+      val (s, s0, sl, l, l0) =
+        if (la < lb) (a, a0, la, b, b0) else (b, b0, lb, a, a0)
       var i = 0
-      while (i < s.length && s.charAt(i) == l.charAt(i)) i += 1
-      if (s.regionMatches(i, l, i + 1, s.length - i)) 1 else 2
+      while (i < sl && s.charAt(s0 + i) == l.charAt(l0 + i)) i += 1
+      if (s.regionMatches(s0 + i, l, l0 + i + 1, sl - i)) 1 else 2
     }
   }
 
@@ -97,22 +139,26 @@ object Fuzzy {
     */
   def phraseDistance(query: String, candidate: String): Option[Int] = {
     if (query == candidate) return Some(0)
-    val qw = query.split(" ", -1)
-    val cw = candidate.split(" ", -1)
-    if (qw.length != cw.length) return None
-    val singleWord = qw.length == 1
+    val nq = wordCount(query)
+    if (nq != wordCount(candidate)) return None
+    val singleWord = nq == 1
     var edits = 0
+    var q0 = 0; var c0 = 0
     var i = 0
-    while (i < qw.length) {
-      if (qw(i) != cw(i)) {
+    while (i < nq) {
+      val q1 = wordEnd(query, q0)
+      val c1 = wordEnd(candidate, c0)
+      if (!regionEq(query, q0, q1, candidate, c0, c1)) {
         if (edits > 0) return None
-        if (!fuzzable(qw(i)) || !fuzzable(cw(i))) return None
-        val d = dlDistanceLe1(qw(i), cw(i))
+        if (!fuzzableRegion(query, q0, q1) ||
+          !fuzzableRegion(candidate, c0, c1)) return None
+        val d = dlRegionLe1(query, q0, q1, candidate, c0, c1)
         if (d > 1) return None
-        if (singleWord && (qw(i).length < MinCorrectionLength ||
-          cw(i).length < MinCorrectionLength)) return None
+        if (singleWord && (q1 - q0 < MinCorrectionLength ||
+          c1 - c0 < MinCorrectionLength)) return None
         edits += d
       }
+      q0 = q1 + 1; c0 = c1 + 1
       i += 1
     }
     Some(edits)
@@ -135,33 +181,44 @@ object Fuzzy {
     */
   def fuzzyPrefixMatch(query: String, phrase: String,
                        wordBoundary: Boolean): Option[(Int, String)] = {
-    val qs = query.split(" ", -1)
-    val ps = phrase.split(" ", -1)
-    if (ps.length < qs.length || qs.isEmpty) return None
+    val nq = wordCount(query)
+    val np = wordCount(phrase)
+    if (np < nq) return None
     var edits = 0
+    var q0 = 0; var p0 = 0
     var i = 0
-    while (i < qs.length - 1) {
+    while (i < nq - 1) {
       // non-final words imply a multi-word phrase, where short-word
       // corrections are allowed (MIN_CORRECTION_LENGTH guards only
       // single-word phrases, reference phrasematch.js:117-126)
-      if (qs(i) != ps(i)) {
+      val q1 = wordEnd(query, q0)
+      val p1 = wordEnd(phrase, p0)
+      if (!regionEq(query, q0, q1, phrase, p0, p1)) {
         if (edits > 0) return None
-        if (!fuzzable(qs(i)) || !fuzzable(ps(i))) return None
-        val d = dlDistanceLe1(qs(i), ps(i))
+        if (!fuzzableRegion(query, q0, q1) ||
+          !fuzzableRegion(phrase, p0, p1)) return None
+        val d = dlRegionLe1(query, q0, q1, phrase, p0, p1)
         if (d > 1) return None
         edits += d
       }
+      q0 = q1 + 1; p0 = p1 + 1
       i += 1
     }
-    val wk = qs(qs.length - 1)
-    val w = ps(qs.length - 1)
-    val sameLen = ps.length == qs.length
-    val finalText: String =
-      if (wk == w) {
+    // final typed word wk = query[q0, q1); its phrase twin w = phrase[p0, p1)
+    val q1 = query.length
+    val p1 = wordEnd(phrase, p0)
+    val kLen = q1 - q0
+    val wLen = p1 - p0
+    val sameLen = np == nq
+    // the accepted cover text is always ps.take(nq-1) :+ finalText, and
+    // finalText is always a prefix of w — i.e. the cover text is
+    // phrase.substring(0, p0 + finalLen): a single allocation on accept
+    val finalLen: Int =
+      if (regionEq(query, q0, q1, phrase, p0, p1)) {
         // complete final word: equal word counts = the exact phrase (or a
         // gap the exact branch handles); extension phrases are fine
         if (sameLen) return None
-        wk
+        kLen
       } else if (wordBoundary) {
         // wordBoundaryPrefix ending: the final typed word ended at a
         // boundary (separator or a replaced last word) and must match a
@@ -171,8 +228,8 @@ object Fuzzy {
         // anyPrefix '30th stn' fuzzy-matches; reference
         // fuzzy-with-tokens-and-autocomplete.js:81-110)
         return None
-      } else if (w.startsWith(wk)) {
-        wk // exact partial prefix; any edit was spent earlier
+      } else if (kLen <= wLen && phrase.regionMatches(p0, query, q0, kLen)) {
+        kLen // exact partial prefix; any edit was spent earlier
       } else {
         // anyPrefix fuzzy final: DL<=1 against a prefix of the indexed
         // word, preferring the complete word, then same-length / longer /
@@ -181,23 +238,32 @@ object Fuzzy {
         // (reference phrasematch.js:117-126); short final words inside
         // multi-word phrases may be corrected ('30th stn' -> '30th st').
         if (edits > 0) return None
-        if (!fuzzable(wk) || !fuzzable(w)) return None
-        if (ps.length == 1 && (wk.length < MinCorrectionLength ||
-          w.length < MinCorrectionLength)) return None
-        val cands = (Vector(w.length, wk.length, wk.length + 1, wk.length - 1)
-          .filter(l => l >= 1 && l <= w.length)).distinct
-        cands.iterator
-          .map(l => w.substring(0, l))
-          .find(p => dlDistanceLe1(wk, p) <= 1) match {
-          case Some(p) =>
-            if (sameLen && p == w) return None // whole-phrase fuzzy owns it
-            edits += 1
-            p
-          case None => return None
+        if (!fuzzableRegion(query, q0, q1) ||
+          !fuzzableRegion(phrase, p0, p1)) return None
+        if (np == 1 && (kLen < MinCorrectionLength ||
+          wLen < MinCorrectionLength)) return None
+        // candidate prefix lengths in preference order (duplicates and
+        // out-of-range lengths skipped; re-testing a duplicate is a no-op)
+        var chosen = -1
+        var ci = 0
+        while (ci < 4 && chosen < 0) {
+          val l = ci match {
+            case 0 => wLen
+            case 1 => kLen
+            case 2 => kLen + 1
+            case _ => kLen - 1
+          }
+          ci += 1
+          if (l >= 1 && l <= wLen &&
+            dlRegionLe1(query, q0, q1, phrase, p0, p0 + l) <= 1) chosen = l
         }
+        if (chosen < 0) return None
+        if (sameLen && chosen == wLen) return None // whole-phrase fuzzy owns it
+        edits += 1
+        chosen
       }
     if (edits == 0) None
-    else Some((edits, (ps.take(qs.length - 1) :+ finalText).mkString(" ")))
+    else Some((edits, phrase.substring(0, p0 + finalLen)))
   }
 
   /** Classic Levenshtein distance (the `leven` dependency the reference

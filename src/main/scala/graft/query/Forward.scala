@@ -200,8 +200,12 @@ object Forward {
                                qlen: Int, addrPos: Int, addrNum: String,
                                partial: Boolean, numberOrder: String,
                                fuzzy: Boolean, phrase: String,
-                               langSet: String,
-                               gridsA: Seq[Long], gridsB: Seq[Long])
+                               // matchesLanguage, resolved in codegen (the
+                               // lang_set string never reaches the kernel)
+                               ml: Boolean,
+                               // primitive arrays: the encoder decodes via
+                               // toLongArray (no per-element Long boxing)
+                               gridsA: Array[Long], gridsB: Array[Long])
 
   /** Joined phrasematch grid row (input to per-query spatialmatch). */
   final case class PmRow(queryId: Long, layer: String, subquery: String,
@@ -1192,7 +1196,6 @@ object Forward {
     val ndxByName = index.layers.map(l =>
       l.config.name -> ndxByGname(l.config.gname)).toMap
     val cfgBc = spark.sparkContext.broadcast((cfgByLayer, ndxByName))
-    val langTargetBc = spark.sparkContext.broadcast(langTargetByLayer)
 
     // The postings are gridstore-shaped (IndexBuilder: one row per
     // (phrase, lang_set) with packed-long grid arrays built ONCE at index
@@ -1202,12 +1205,22 @@ object Forward {
     // re-materializing hot phrases' grid lists, 8 GiB OOM at 32 threads)
     // and one less shuffle per forward() call. This is also the reference
     // shape: phrasematch returns PHRASE matches, grids travel as lists.
+    // matchesLanguage resolves HERE, inside whole-stage codegen (per-layer
+    // target via a literal map), so the shuffled row carries one boolean
+    // instead of the lang_set string and the kernel does no per-row split.
+    val langTargetExpr = coalesce(
+      element_at(typedLit(langTargetByLayer), col("layer")), lit("default"))
+    val langsExpr = split(col("lang_set"), ",")
+    val mlExpr = when(col("lang_set").isNull || col("lang_set") === "",
+        lit(true))
+      .otherwise(array_contains(langsExpr, "all") ||
+        array_contains(langsExpr, langTargetExpr))
     val pmRowsBase = matched.select(
         col("queryId"), col("layer"), col("subquery"), col("mask"),
         col("weight"), col("is_prefix").as("prefix"), col("qlen"),
         col("addrPos"), col("addrNum"), col("partial"), col("numberOrder"),
         col("is_fuzzy").as("fuzzy"), col("phrase"),
-        col("lang_set").as("langSet"), col("gridsA"), col("gridsB"))
+        mlExpr.as("ml"), col("gridsA"), col("gridsB"))
     // with stats on, the phrasematch joins materialize separately so
     // "pm_join" vs "spatialmatch" (coalesce kernel) attribute honestly
     val pmRows = stats match {
@@ -1237,20 +1250,25 @@ object Forward {
           r.addrNum, r.partial, r.numberOrder, r.addrPos, r.fuzzy))
         .flatMap { case ((layer, mask, subq, pfx, addrNum, partial, numberOrder, addrPos, fuzzy), prs) =>
           val (cfg, scorefactor) = cfgs(layer)
-          val target = langTargetBc.value.getOrElse(layer, "default")
-          // flatten the per-phrase grid lists back to grid entries;
-          // matchesLanguage is a per-PHRASE-row fact, so the lang_set
-          // split happens once per row, not once per grid (hot phrases
-          // carry thousands of grids)
-          val grs0: Vector[StackCoalesce.GridRow] =
-            prs.toVector.flatMap { pr =>
-              val ml = pr.langSet.isEmpty || {
-                val langs = pr.langSet.split(",")
-                langs.contains("all") || langs.contains(target)
+          // flatten the per-phrase grid lists back to grid entries
+          // (matchesLanguage resolved in codegen upstream); pre-sized
+          // builder + while loop over the primitive arrays — one GridRow
+          // allocation per grid, nothing else
+          val grs0: Vector[StackCoalesce.GridRow] = {
+            val vb = Vector.newBuilder[StackCoalesce.GridRow]
+            var sz = 0
+            prs.foreach(pr => sz += pr.gridsA.length)
+            vb.sizeHint(sz)
+            prs.foreach { pr =>
+              val ga = pr.gridsA; val gb = pr.gridsB; val ml = pr.ml
+              var gi = 0
+              while (gi < ga.length) {
+                vb += decodeGrid(ga(gi), gb(gi), ml)
+                gi += 1
               }
-              pr.gridsA.iterator.zip(pr.gridsB.iterator)
-                .map { case (a, b) => decodeGrid(a, b, ml) }
             }
+            vb.result()
+          }
           // partial-number searches require the proximity point INSIDE the
           // source bounds (proxMatch, phrasematch.js:46-48, 207) and keep
           // only grids near the proximity point (nearby_only — the
