@@ -26,61 +26,100 @@ object AddressCluster {
 
   // ---- match strings (addresscluster.js:309-359) -----------------------
 
-  private val firstNonDigit = "[^\\d]".r
-  private val firstNonDigitDash = "[^\\d-]".r
-  private val initialNumeric = "^(\\d+)([^\\d].*)".r
+  // The match-string kernels run once per (query, feature-number) pair in
+  // forward/forwardPrefix — clusters carry hundreds of numbers, so the
+  // original regex forms (Matcher + StringBuffer per call) were a measured
+  // allocation hot spot. These scans are exact re-expressions; the no-hit
+  // paths (pure-digit house numbers, the common case) return the input
+  // reference unchanged and allocate nothing.
 
   private final case class StdStrings(raw: String, numeric: String, initial: String)
   private final case class QueensStrings(raw: String, hyphenated: String,
                                          numeric: String, containsHyphen: Boolean)
 
+  @inline private def isDigitAscii(c: Char): Boolean = c >= '0' && c <= '9'
+
+  /** `"[^\\d]".r.replaceFirstIn(s, "")` (or `[^\d-]` with `allowDash`):
+    * drop the first char outside the class; no-hit returns `s` itself.
+    */
+  private[core] def dropFirstNonDigit(s: String, allowDash: Boolean): String = {
+    var i = 0
+    while (i < s.length &&
+      (isDigitAscii(s.charAt(i)) || (allowDash && s.charAt(i) == '-'))) i += 1
+    if (i == s.length) s
+    else new java.lang.StringBuilder(s.length - 1)
+      .append(s, 0, i).append(s, i + 1, s.length).toString
+  }
+
+  /** Full-match `^(\d+)([^\d].*)` group 1, else the input: needs >= 1
+    * leading digit, a following non-digit char, and — because `.` does not
+    * match '\n' — no newline after that char.
+    */
+  private[core] def initialOf(s: String): String = {
+    var i = 0
+    while (i < s.length && isDigitAscii(s.charAt(i))) i += 1
+    if (i >= 1 && i < s.length && s.indexOf('\n', i + 1) < 0) s.substring(0, i)
+    else s
+  }
+
   private def stdStrings(address: String): StdStrings = StdStrings(
     raw = address.toLowerCase(java.util.Locale.ROOT),
-    numeric = firstNonDigit.replaceFirstIn(address, ""),
-    initial = address match {
-      case initialNumeric(d, _) => d
-      case _ => address
-    })
+    numeric = dropFirstNonDigit(address, allowDash = false),
+    initial = initialOf(address))
 
   private def queensStrings(address: String): QueensStrings = QueensStrings(
     raw = address.toLowerCase(java.util.Locale.ROOT),
-    hyphenated = firstNonDigitDash.replaceFirstIn(address, ""),
-    numeric = firstNonDigit.replaceFirstIn(address, ""),
+    hyphenated = dropFirstNonDigit(address, allowDash = true),
+    numeric = dropFirstNonDigit(address, allowDash = false),
     containsHyphen = address.contains('-'))
 
   /** Rank of a match between query and feature number in the given style:
     * -1 = no match; lower is better (addresscluster.js:384-420).
     */
-  private def rank(style: String, query: String, feature: String,
-                   prefixMatch: Boolean): Int = style match {
-    case "queens" =>
-      val q = queensStrings(query)
-      val f = queensStrings(feature)
-      if (prefixMatch) {
-        if (f.raw.startsWith(q.raw)) 0
-        else if (f.hyphenated.startsWith(q.hyphenated)) 1
-        else if (f.numeric.startsWith(q.numeric) && !q.containsHyphen) 2
-        else -1
-      } else {
-        if (f.raw == q.raw) 0
-        else if (f.hyphenated == q.hyphenated) 1
-        else if (f.numeric == q.numeric && !q.containsHyphen) 2
-        else -1
-      }
-    case _ =>
-      val q = stdStrings(query)
-      val f = stdStrings(feature)
-      if (prefixMatch) {
-        if (f.raw.startsWith(q.raw)) 0
-        else if (f.raw.startsWith(q.numeric)) 1
-        else -1
-      } else {
-        if (f.raw == q.raw) 0
-        else if (f.raw == q.numeric) 1
-        else if (f.initial.nonEmpty && f.initial == q.initial) 2
-        else -1
-      }
+  private def rankQueens(q: QueensStrings, feature: String,
+                         prefixMatch: Boolean): Int = {
+    val f = queensStrings(feature)
+    if (prefixMatch) {
+      if (f.raw.startsWith(q.raw)) 0
+      else if (f.hyphenated.startsWith(q.hyphenated)) 1
+      else if (f.numeric.startsWith(q.numeric) && !q.containsHyphen) 2
+      else -1
+    } else {
+      if (f.raw == q.raw) 0
+      else if (f.hyphenated == q.hyphenated) 1
+      else if (f.numeric == q.numeric && !q.containsHyphen) 2
+      else -1
+    }
   }
+
+  private def rankStd(q: StdStrings, feature: String,
+                      prefixMatch: Boolean): Int = {
+    val f = stdStrings(feature)
+    if (prefixMatch) {
+      if (f.raw.startsWith(q.raw)) 0
+      else if (f.raw.startsWith(q.numeric)) 1
+      else -1
+    } else {
+      if (f.raw == q.raw) 0
+      else if (f.raw == q.numeric) 1
+      else if (f.initial.nonEmpty && f.initial == q.initial) 2
+      else -1
+    }
+  }
+
+  /** Per-feature rank function with the query-side strings computed ONCE
+    * (they were rebuilt per feature number before — pure waste inside the
+    * per-number loops below).
+    */
+  private def rankFn(style: String, query: String,
+                     prefixMatch: Boolean): String => Int =
+    if (style == "queens") {
+      val q = queensStrings(query)
+      f => rankQueens(q, f, prefixMatch)
+    } else {
+      val q = stdStrings(query)
+      f => rankStd(q, f, prefixMatch)
+    }
 
   /** forward (addresscluster.js:61-116): exact match against the cluster,
     * best rank wins, capped at `num` points (rounded to 1e-6).
@@ -89,10 +128,11 @@ object AddressCluster {
               style: String = "standard"): Vector[Matched] = {
     val matched = mutable.ArrayBuffer.empty[Matched]
     var matchQuality = Int.MaxValue
+    val rk = rankFn(style, address, prefixMatch = false)
     for (part <- parts) {
       var i = 0
       while (i < part.numbers.length) {
-        val r = rank(style, address, part.numbers(i), prefixMatch = false)
+        val r = rk(part.numbers(i))
         if (r != -1 && part.isMultiPoint) {
           if (r < matchQuality) {
             matchQuality = r
@@ -120,10 +160,11 @@ object AddressCluster {
                     style: String = "standard"): Vector[PrefixPoint] = {
     val matched = mutable.ArrayBuffer.empty[PrefixPoint]
     var matchQuality = Int.MaxValue
+    val rk = rankFn(style, address, prefixMatch = true)
     for (part <- parts) {
       var i = 0
       while (i < part.numbers.length) {
-        val r = rank(style, address, part.numbers(i), prefixMatch = true)
+        val r = rk(part.numbers(i))
         if (r != -1 && part.isMultiPoint) {
           if (r < matchQuality) {
             matchQuality = r
