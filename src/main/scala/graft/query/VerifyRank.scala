@@ -102,8 +102,8 @@ object VerifyRank {
     * inheritance only credits context elements that are themselves chunk
     * peers, using the peer's REAL loaded score (verifymatch.js:867-876).
     */
-  def verifyContext(context: Vector[VCtx], strict: Map[Long, VCover],
-                    loose: Map[Long, VCover],
+  def verifyContext(context: Vector[VCtx], strict: collection.Map[Long, VCover],
+                    loose: collection.Map[Long, VCover],
                     addressOrder: String = "ascending",
                     peerScores: Map[Long, Double] = Map.empty): Double =
     verifyContextSquishy(context, strict, loose, addressOrder, peerScores)._1
@@ -112,8 +112,12 @@ object VerifyRank {
     * score inheritance for same-named nested features
     * (reference verifymatch.js:813-838, 939-972).
     */
-  def verifyContextSquishy(context: Vector[VCtx], strict: Map[Long, VCover],
-                           loose: Map[Long, VCover],
+  // collection.Map so the per-chunk caller can pass its live mutable loose
+  // map directly (it was snapshot-copied per context row before — pure
+  // allocation; this pass only reads)
+  def verifyContextSquishy(context: Vector[VCtx],
+                           strict: collection.Map[Long, VCover],
+                           loose: collection.Map[Long, VCover],
                            addressOrder: String = "ascending",
                            peerScores: Map[Long, Double] = Map.empty): (Double, Double) = {
     var usedmask = 0
@@ -276,12 +280,11 @@ object VerifyRank {
         }
       }
       val strict = r.covers.map(c => c.tmpid -> c).toMap
-      val looseNow = loose.toMap
       val (strictRelev, sq1) =
         verifyContextSquishy(r.context, strict, Map.empty, r.addressOrder,
           peerScores = peerScores)
       val (looseRelev, sq2) =
-        verifyContextSquishy(r.context, strict, looseNow, r.addressOrder,
+        verifyContextSquishy(r.context, strict, loose, r.addressOrder,
           peerScores = peerScores)
       val squishy = math.max(sq1, sq2)
       val relevance = JsNum.roundTo(math.max(strictRelev, looseRelev), 6)
