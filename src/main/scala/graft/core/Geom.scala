@@ -250,13 +250,23 @@ object Geom {
       case Collection(gs)      => gs.flatMap(nearestLines)
       case _                   => Vector.empty
     }
+    // Candidate ranking is equirectangular (longitude offsets scaled by
+    // cos(lat)) because the reference ranks per-segment planar projections
+    // by spherical distance (turf nearestPointOnLine): with two near-
+    // equidistant segments, an east-west gap counts slightly less than the
+    // same north-south gap (routablepoint.test.js cul-de-sac fixtures).
+    // The per-segment projection itself stays planar, also matching turf.
+    val cosLat = math.cos(math.toRadians(lat))
     var best: Option[(Double, Pt)] = None
     lines.foreach { line =>
       var i = 0
       while (i < line.length - 1) {
         val (ax, ay) = line(i)
         val (bx, by) = line(i + 1)
-        val (nx, ny, d2) = nearestOnSegment(lon, lat, ax, ay, bx, by)
+        val (nx, ny, _) = nearestOnSegment(lon, lat, ax, ay, bx, by)
+        val ddx = (nx - lon) * cosLat
+        val ddy = ny - lat
+        val d2 = ddx * ddx + ddy * ddy
         if (best.isEmpty || d2 < best.get._1) best = Some((d2, (nx, ny)))
         i += 1
       }

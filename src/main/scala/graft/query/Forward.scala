@@ -315,7 +315,7 @@ object Forward {
     * ONE token, so normalizeQuery re-splits them under the same owner and
     * the owner-mapped masks land on the original glued token.
     */
-  private def whitespaceCorrectQ(q: TokenizedQuery): Option[TokenizedQuery] = {
+  private[graft] def whitespaceCorrectQ(q: TokenizedQuery): Option[TokenizedQuery] = {
     var found = false
     val newTokens = q.tokens.map { t =>
       val m = numberLetter.matcher(t)
