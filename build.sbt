@@ -30,4 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // throughput GC: G1's concurrent cycle falls behind 32 allocating task
   // threads on batch workloads (measured 7x ingest slowdown at local[32])
   "-XX:+UseParallelGC",
-)
+) ++
+  // extra forked-JVM flags for measurement runs (e.g.
+  // SPARK_GRAFT_JAVA_OPTS="-XX:StartFlightRecording=settings=profile,filename=/tmp/p.jfr")
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

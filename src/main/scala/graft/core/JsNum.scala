@@ -17,11 +17,16 @@ object JsNum {
   /** JS Math.round: floor(x + 0.5), i.e. half-up toward +Infinity. */
   @inline def jsRound(d: Double): Double = math.floor(d + 0.5)
 
+  // 10^k for the digit counts roundTo is ever called with — math.pow's
+  // FdLibm path allocates a spill array per call, and roundTo runs once
+  // per grid in the coalesce kernels (JFR: ~0.5 GB per 10k-query batch)
+  private val pow10: Array[Double] = Array.tabulate(16)(k => math.pow(10, k))
+
   /** carmen's round-to helper (lib/util/round-to.js:10-13):
     * `Math.round(value * 10^digits) / 10^digits` with JS Math.round.
     */
   def roundTo(value: Double, digits: Int): Double = {
-    val p = math.pow(10, digits)
+    val p = if (digits >= 0 && digits < 16) pow10(digits) else math.pow(10, digits)
     jsRound(value * p) / p
   }
 

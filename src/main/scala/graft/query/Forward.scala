@@ -178,18 +178,10 @@ object Forward {
     * arrays). A = x(14)<<42 | y(14)<<28 | score3(3)<<25 | id24(25);
     * B = unsigned phraseHash(32)<<2 | relev2(2), relev 0.2-quantized at
     * index time (Phrases.scala enumerate: jsRound(relev*5)/5, >=0.8).
-    * Decodes straight to the spatialmatch GridRow — one allocation per
-    * grid in the per-query hot loop (no intermediate holder/tuple).
+    * The packed form travels INTO the spatialmatch kernels (StackCoalesce
+    * decodes fields on demand) — zero per-grid allocation in the per-query
+    * hot loop; matchesLanguage folds into B bit 34 at flatten time.
     */
-  def decodeGrid(a: Long, b: Long, matchesLanguage: Boolean): StackCoalesce.GridRow =
-    StackCoalesce.GridRow(
-      x = ((a >> 42) & 0x3FFFL).toInt,
-      y = ((a >> 28) & 0x3FFFL).toInt,
-      relev = JsNum.relev2Bit((b & 3L).toInt),
-      score3 = ((a >> 25) & 7L).toInt,
-      id24 = a & 0x1FFFFFFL,
-      phraseHash = ((b >> 2) & 0xFFFFFFFFL).toInt,
-      matchesLanguage = matchesLanguage)
 
   /** One (query window, phrase) match with its grid list — the per-query
     * spatialmatch input (the reference's phrasematch result shape:
@@ -1250,32 +1242,30 @@ object Forward {
           r.addrNum, r.partial, r.numberOrder, r.addrPos, r.fuzzy))
         .flatMap { case ((layer, mask, subq, pfx, addrNum, partial, numberOrder, addrPos, fuzzy), prs) =>
           val (cfg, scorefactor) = cfgs(layer)
-          // flatten the per-phrase grid lists back to grid entries
-          // (matchesLanguage resolved in codegen upstream); pre-sized
-          // builder + while loop over the primitive arrays — one GridRow
-          // allocation per grid, nothing else
-          val grs0: Vector[StackCoalesce.GridRow] = {
-            val vb = Vector.newBuilder[StackCoalesce.GridRow]
-            var sz = 0
-            prs.foreach(pr => sz += pr.gridsA.length)
-            vb.sizeHint(sz)
-            prs.foreach { pr =>
-              val ga = pr.gridsA; val gb = pr.gridsB; val ml = pr.ml
-              var gi = 0
-              while (gi < ga.length) {
-                vb += decodeGrid(ga(gi), gb(gi), ml)
-                gi += 1
-              }
-            }
-            vb.result()
+          // concatenate the per-phrase packed grid arrays (matchesLanguage
+          // resolved in codegen upstream, folded into B bit 34 here) —
+          // arraycopy + an OR loop, zero per-grid allocation; the kernels
+          // consume the packed longs directly
+          var sz = 0
+          prs.foreach(pr => sz += pr.gridsA.length)
+          val ga0 = new Array[Long](sz)
+          val gb0 = new Array[Long](sz)
+          var off = 0
+          prs.foreach { pr =>
+            val pa = pr.gridsA; val pb = pr.gridsB
+            System.arraycopy(pa, 0, ga0, off, pa.length)
+            val mlBit = if (pr.ml) StackCoalesce.MlBit else 0L
+            var gi = 0
+            while (gi < pb.length) { gb0(off + gi) = pb(gi) | mlBit; gi += 1 }
+            off += pa.length
           }
           // partial-number searches require the proximity point INSIDE the
           // source bounds (proxMatch, phrasematch.js:46-48, 207) and keep
           // only grids near the proximity point (nearby_only — the
           // carmen-core behavior observable in
           // geocode-unit.address-partial-number.js)
-          val grs =
-            if (!partial) grs0
+          val (gaF, gbF) =
+            if (!partial) (ga0, gb0)
             else proximity match {
               case Some((plon, plat))
                 if Bbox.amInside(plon, plat, {
@@ -1286,14 +1276,22 @@ object Forward {
                 val radius =
                   if (cfg.coalesceRadius > 0) cfg.coalesceRadius
                   else Proximity.scaleRadius(cfg.zoom)
-                grs0.filter { g =>
-                  val cLon = Mercator.ll((g.x + 0.5) * Mercator.TileSize, 0, cfg.zoom)._1
-                  val cLat = Mercator.ll(0, (g.y + 0.5) * Mercator.TileSize, cfg.zoom)._2
-                  Proximity.distance(plon, plat, cLon, cLat, g.x, g.y, cfg.zoom) < radius
+                var n = 0
+                var gi = 0
+                while (gi < ga0.length) {
+                  val a = ga0(gi)
+                  val gx = StackCoalesce.gX(a); val gy = StackCoalesce.gY(a)
+                  val cLon = Mercator.ll((gx + 0.5) * Mercator.TileSize, 0, cfg.zoom)._1
+                  val cLat = Mercator.ll(0, (gy + 0.5) * Mercator.TileSize, cfg.zoom)._2
+                  if (Proximity.distance(plon, plat, cLon, cLat, gx, gy, cfg.zoom) < radius) {
+                    ga0(n) = a; gb0(n) = gb0(gi); n += 1
+                  }
+                  gi += 1
                 }
-              case _ => Vector.empty
+                (java.util.Arrays.copyOf(ga0, n), java.util.Arrays.copyOf(gb0, n))
+              case _ => (Array.emptyLongArray, Array.emptyLongArray)
             }
-          if (grs.isEmpty) None
+          if (gaF.isEmpty) None
           else Some {
           // number-order penalty (phrasematch.js:357-369): the layer expects
           // the house number first/last and this match has it elsewhere
@@ -1305,7 +1303,7 @@ object Forward {
           StackCoalesce.Pm(layer, cfg.idx, ndxs(layer), cfg.nonOverlapping,
             cfg.zoom, subq, mask, weight, pfx,
             math.max(scorefactor, 1.0),
-            grs,
+            gaF, gbF,
             addrNum, partial, catMatch = cfg.categories.contains(subq),
             addrPos = addrPos, fuzzy = fuzzy,
             nPhrases = prs.iterator.map(_.phrase).toSet.size,

@@ -18,7 +18,17 @@ object StackCoalesce {
   val StackableLimit = 100        // reference lib/constants.js:20
   val SpatialmatchStackLimit = 40 // reference lib/constants.js:21
 
-  /** One phrasematch with its fetched grids. */
+  /** One phrasematch with its fetched grids, kept PACKED: the index's
+    * two-long layout (A = x(14)<<42 | y(14)<<28 | score3(3)<<25 | id24(25);
+    * B = phraseHash(32)<<2 | relev2(2)) travels straight from the postings
+    * join into the kernels, with matchesLanguage folded into B bit 34 at
+    * flatten time. The kernels decode fields on demand — no per-grid object
+    * allocation, and the per-grid scans walk two sequential long arrays
+    * (prefetch-friendly) instead of chasing ~48B heap rows. Allocation rate
+    * is the measured scaling ceiling on this host (BENCH.md), and
+    * spatialmatch is the largest post-gridstore stage, so the packed form
+    * is the kernel's remaining allocation lever.
+    */
   final case class Pm(
       layer: String,
       idx: Int,
@@ -30,7 +40,8 @@ object StackCoalesce {
       weight: Double,
       prefix: Boolean,
       scorefactor: Double,
-      grids: Vector[GridRow],
+      gridsA: Array[Long],
+      gridsB: Array[Long],      // bit 34 = matchesLanguage (see MlBit)
       addrNum: String = "",     // numTokenize-captured house number token
       partial: Boolean = false, // proximity partial-number search
       catMatch: Boolean = false,// subquery matches a layer category
@@ -42,9 +53,20 @@ object StackCoalesce {
       radius: Double = 0.0
   )
 
-  /** One inverted-index grid row (decoded). */
-  final case class GridRow(x: Int, y: Int, relev: Double, score3: Int,
-                           id24: Long, phraseHash: Int, matchesLanguage: Boolean)
+  /** matchesLanguage flag folded into packed-grid B (bit 34; bits 0-33 are
+    * relev2 + phraseHash from the index layout).
+    */
+  val MlBit: Long = 1L << 34
+
+  // packed-grid field decodes (layout above; all allocation-free)
+  @inline def gX(a: Long): Int = ((a >> 42) & 0x3FFFL).toInt
+  @inline def gY(a: Long): Int = ((a >> 28) & 0x3FFFL).toInt
+  @inline def gScore3(a: Long): Int = ((a >> 25) & 7L).toInt
+  @inline def gId24(a: Long): Long = a & 0x1FFFFFFL
+  @inline def gRelev2(b: Long): Int = (b & 3L).toInt
+  @inline def gRelev(b: Long): Double = JsNum.relev2Bit((b & 3L).toInt)
+  @inline def gPhraseHash(b: Long): Int = ((b >> 2) & 0xFFFFFFFFL).toInt
+  @inline def gMl(b: Long): Boolean = (b & MlBit) != 0L
 
   /** stackable: enumerate phrasematch combinations with (a) disjoint token
     * masks, (b) distinct ndx groups, (c) no mutual non_overlapping_indexes,
@@ -83,17 +105,23 @@ object StackCoalesce {
     * (x >> dz containment). Returns at most `cap` best contexts.
     */
   /** Best grid per tile for one Pm, keyed (x << 32 | y) — primitive-keyed
-    * LongMap, no tuple boxing. Memoized per Pm instance across the stacks
-    * of one spatialmatch call (stacks share Pm instances, so rebuilding
-    * this map per stack was the kernel's main avoidable allocation; the
-    * 50k-query scaling run puts spatialmatch at ~65% of geocode time).
+    * LongMap whose value is the grid's INDEX into the Pm's packed arrays
+    * (one small-int box per tile vs a decoded row). Memoized per Pm
+    * instance across the stacks of one spatialmatch call (stacks share Pm
+    * instances, so rebuilding this map per stack was the kernel's main
+    * avoidable allocation; the 50k-query scaling run puts spatialmatch at
+    * ~65% of geocode time).
     */
-  private def tileMap(pm: Pm): mutable.LongMap[GridRow] = {
-    val m = new mutable.LongMap[GridRow](math.max(8, pm.grids.length))
-    pm.grids.foreach { g =>
-      val k = (g.x.toLong << 32) | (g.y.toLong & 0xffffffffL)
-      val cur = m.getOrNull(k)
-      if ((cur eq null) || better(g, cur)) m(k) = g
+  private def tileMap(pm: Pm): mutable.LongMap[Int] = {
+    val ga = pm.gridsA; val gb = pm.gridsB
+    val m = new mutable.LongMap[Int](math.max(8, ga.length))
+    var i = 0
+    while (i < ga.length) {
+      val a = ga(i)
+      val k = (gX(a).toLong << 32) | (gY(a).toLong & 0xffffffffL)
+      val cur = m.getOrElse(k, -1)
+      if (cur < 0 || better(a, gb(i), ga(cur), gb(cur))) m(k) = i
+      i += 1
     }
     m
   }
@@ -101,44 +129,50 @@ object StackCoalesce {
   def coalesceStack(stack: Vector[Pm], proximity: Option[(Double, Double)],
                     bbox: Option[(Int, Int, Int, Int, Int)],
                     cap: Int = SpatialmatchStackLimit,
-                    lookupOf: Pm => mutable.LongMap[GridRow] = tileMap)
+                    lookupOf: Pm => mutable.LongMap[Int] = tileMap)
   : Vector[StackResult] = {
     val byZoom = stack.sortBy(pm => (pm.zoom, pm.idx))
     val finest = byZoom.last
     val coarser = byZoom.init
 
     // per coarser member: best grid per tile (relev, then score, then id)
-    val lookups: Vector[(Pm, mutable.LongMap[GridRow])] =
+    val lookups: Vector[(Pm, mutable.LongMap[Int])] =
       coarser.map(pm => (pm, lookupOf(pm)))
 
     val results = mutable.ArrayBuffer.empty[StackResult]
     // probe buffer reused across grids: coarser matches land here so the
     // common incomplete case (finest grid with no full ancestor coverage)
     // allocates NOTHING — no CoverEntry, no builder, no distance trig
-    val matchedGrids = new Array[GridRow](lookups.length)
-    finest.grids.foreach { g =>
-      if (inBbox(g, finest.zoom, bbox)) {
+    val matchedIdx = new Array[Int](lookups.length)
+    val fga = finest.gridsA; val fgb = finest.gridsB
+    var fi = 0
+    while (fi < fga.length) {
+      val fa = fga(fi); val fb = fgb(fi)
+      val fx = gX(fa); val fy = gY(fa)
+      if (inBbox(fx, fy, finest.zoom, bbox)) {
         var complete = true
         var li = 0
         while (complete && li < lookups.length) {
           val (pm, m) = lookups(li)
           val dz = finest.zoom - pm.zoom
-          val key = ((g.x >> dz).toLong << 32) | ((g.y >> dz).toLong & 0xffffffffL)
-          val pg = m.getOrNull(key)
-          if (pg eq null) complete = false
-          else matchedGrids(li) = pg
+          val key = ((fx >> dz).toLong << 32) | ((fy >> dz).toLong & 0xffffffffL)
+          val pi = m.getOrElse(key, -1)
+          if (pi < 0) complete = false
+          else matchedIdx(li) = pi
           li += 1
         }
         if (complete) {
           val entries = Vector.newBuilder[CoverEntry]
           var relevSum = 0.0
           // lead entry: the finest member's grid
-          val lead = mkEntry(finest, g, proximity)
+          val lead = mkEntry(finest, fa, fb, proximity)
           entries += lead
           relevSum += lead.relev
           li = 0
           while (li < lookups.length) {
-            val e = mkEntry(lookups(li)._1, matchedGrids(li), proximity)
+            val pm = lookups(li)._1
+            val pi = matchedIdx(li)
+            val e = mkEntry(pm, pm.gridsA(pi), pm.gridsB(pi), proximity)
             entries += e
             relevSum += e.relev
             li += 1
@@ -155,6 +189,7 @@ object StackCoalesce {
           results += StackResult(0L, JsNum.roundTo(relevSum, 8), boosted, covers)
         }
       }
+      fi += 1
     }
     // ties break by descending packed grid value (y, x, id) — the legacy
     // gridstore ordering observable in the reference's proximity fixtures
@@ -175,7 +210,7 @@ object StackCoalesce {
   /** Winner holder for the single-member fast path (one per surviving
     * feature, not per grid).
     */
-  private final class BestSingle(var g: GridRow, var relev: Double,
+  private final class BestSingle(var a: Long, var b: Long, var relev: Double,
                                  var scoredist: Double, var packed: Long,
                                  var seq: Int)
 
@@ -195,34 +230,41 @@ object StackCoalesce {
                              cap: Int): Vector[StackResult] = {
     val best = new mutable.LongMap[BestSingle](64)
     var seq = 0
-    pm.grids.foreach { g =>
-      if (inBbox(g, pm.zoom, bbox)) {
+    val ga = pm.gridsA; val gb = pm.gridsB
+    var i = 0
+    while (i < ga.length) {
+      val a = ga(i); val b = gb(i)
+      val x = gX(a); val y = gY(a)
+      if (inBbox(x, y, pm.zoom, bbox)) {
         // same arithmetic as mkEntry, allocation-free
-        val score = GridCodec.decode3BitLogScale(g.score3, pm.scorefactor)
-        val gridRelev = if (g.matchesLanguage) g.relev else g.relev * LanguagePenalty
+        val score = GridCodec.decode3BitLogScale(gScore3(a), pm.scorefactor)
+        val relevRaw = gRelev(b)
+        val gridRelev = if (gMl(b)) relevRaw else relevRaw * LanguagePenalty
         val relev = JsNum.roundTo(gridRelev * pm.weight, 8)
         val scoredist = proximity match {
           case Some((plon, plat)) =>
             val d = Proximity.distance(plon, plat,
-              tileCenterLon(g.x, pm.zoom), tileCenterLat(g.y, pm.zoom),
-              g.x, g.y, pm.zoom)
+              tileCenterLon(x, pm.zoom), tileCenterLat(y, pm.zoom),
+              x, y, pm.zoom)
             Proximity.scoredist(score, 0, math.max(pm.scorefactor, 1.01), d,
               pm.zoom, pm.radius)
           case None => score
         }
-        val packed = (g.y.toLong << 34) | (g.x.toLong << 20) | g.id24
-        val tmpid = GridCodec.tmpid(pm.idx, g.id24)
+        val id24 = gId24(a)
+        val packed = (y.toLong << 34) | (x.toLong << 20) | id24
+        val tmpid = GridCodec.tmpid(pm.idx, id24)
         val cur = best.getOrNull(tmpid)
         if (cur eq null)
-          best(tmpid) = new BestSingle(g, relev, scoredist, packed, seq)
+          best(tmpid) = new BestSingle(a, b, relev, scoredist, packed, seq)
         else if (relev > cur.relev ||
           (relev == cur.relev && (scoredist > cur.scoredist ||
             (scoredist == cur.scoredist && packed > cur.packed)))) {
-          cur.g = g; cur.relev = relev; cur.scoredist = scoredist
+          cur.a = a; cur.b = b; cur.relev = relev; cur.scoredist = scoredist
           cur.packed = packed; cur.seq = seq
         }
         seq += 1
       }
+      i += 1
     }
     val winners = best.values.toArray
     java.util.Arrays.sort(winners, new java.util.Comparator[BestSingle] {
@@ -234,24 +276,28 @@ object StackCoalesce {
       }
     })
     winners.iterator.take(cap).map { w =>
-      val lead = mkEntry(pm, w.g, proximity)
+      val lead = mkEntry(pm, w.a, w.b, proximity)
       val sd = if (pm.partial) lead.scoredist * 300 else lead.scoredist
       StackResult(0L, lead.relev, sd, Vector(lead))
     }.toVector
   }
 
-  private def better(a: GridRow, b: GridRow): Boolean =
-    a.relev > b.relev ||
-      (a.relev == b.relev && (a.score3 > b.score3 ||
-        (a.score3 == b.score3 && a.id24 < b.id24)))
+  // relev2Bit is monotone in the 2-bit code, so codes compare directly
+  private def better(a1: Long, b1: Long, a2: Long, b2: Long): Boolean = {
+    val r1 = gRelev2(b1); val r2 = gRelev2(b2)
+    r1 > r2 || (r1 == r2 && {
+      val s1 = gScore3(a1); val s2 = gScore3(a2)
+      s1 > s2 || (s1 == s2 && gId24(a1) < gId24(a2))
+    })
+  }
 
-  private def inBbox(g: GridRow, zoom: Int,
+  private def inBbox(x: Int, y: Int, zoom: Int,
                      bbox: Option[(Int, Int, Int, Int, Int)]): Boolean = bbox match {
     case None => true
     case Some((bz, minX, minY, maxX, maxY)) =>
       val dz = zoom - bz
-      val px = if (dz >= 0) g.x >> dz else g.x << -dz
-      val py = if (dz >= 0) g.y >> dz else g.y << -dz
+      val px = if (dz >= 0) x >> dz else x << -dz
+      val py = if (dz >= 0) y >> dz else y << -dz
       px >= minX && px <= maxX && py >= minY && py <= maxY
   }
 
@@ -261,25 +307,29 @@ object StackCoalesce {
     */
   val LanguagePenalty = 0.96
 
-  private def mkEntry(pm: Pm, g: GridRow,
+  private def mkEntry(pm: Pm, a: Long, b: Long,
                       proximity: Option[(Double, Double)]): CoverEntry = {
-    val score = GridCodec.decode3BitLogScale(g.score3, pm.scorefactor)
-    val gridRelev = if (g.matchesLanguage) g.relev else g.relev * LanguagePenalty
+    val x = gX(a); val y = gY(a)
+    val ml = gMl(b)
+    val score = GridCodec.decode3BitLogScale(gScore3(a), pm.scorefactor)
+    val relevRaw = gRelev(b)
+    val gridRelev = if (ml) relevRaw else relevRaw * LanguagePenalty
     val (dist, scoredist) = proximity match {
       case Some((plon, plat)) =>
         val d = Proximity.distance(plon, plat,
-          tileCenterLon(g.x, pm.zoom), tileCenterLat(g.y, pm.zoom),
-          g.x, g.y, pm.zoom)
+          tileCenterLon(x, pm.zoom), tileCenterLat(y, pm.zoom),
+          x, y, pm.zoom)
         (d, Proximity.scoredist(score, 0, math.max(pm.scorefactor, 1.01), d,
           pm.zoom, pm.radius))
       case None => (0.0, score)
     }
-    CoverEntry(g.x, g.y,
+    val id24 = gId24(a)
+    CoverEntry(x, y,
       relev = JsNum.roundTo(gridRelev * pm.weight, 8),
-      score = score, id24 = g.id24, idx = pm.idx,
-      tmpid = GridCodec.tmpid(pm.idx, g.id24), mask = pm.mask,
+      score = score, id24 = id24, idx = pm.idx,
+      tmpid = GridCodec.tmpid(pm.idx, id24), mask = pm.mask,
       distance = dist, scoredist = scoredist,
-      matchesLanguage = g.matchesLanguage, phraseHash = g.phraseHash,
+      matchesLanguage = ml, phraseHash = gPhraseHash(b),
       zoom = pm.zoom, text = pm.subquery, prefix = pm.prefix,
       addrNum = pm.addrNum, partial = pm.partial, catMatch = pm.catMatch,
       addrPos = pm.addrPos)
@@ -326,8 +376,8 @@ object StackCoalesce {
                    stackLimit: Int = SpatialmatchStackLimit): Vector[StackResult] = {
     val stacks = stackable(pms)
     // per-Pm tile maps built once per query, shared across its stacks
-    val memo = new java.util.IdentityHashMap[Pm, mutable.LongMap[GridRow]]()
-    def memoTileMap(pm: Pm): mutable.LongMap[GridRow] = {
+    val memo = new java.util.IdentityHashMap[Pm, mutable.LongMap[Int]]()
+    def memoTileMap(pm: Pm): mutable.LongMap[Int] = {
       var m = memo.get(pm)
       if (m == null) { m = tileMap(pm); memo.put(pm, m) }
       m
