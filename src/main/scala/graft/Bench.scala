@@ -3,9 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every SparkEntry query at SPARK_GRAFT_SF_DIR,
-  * printed as ONE JSON line. Each query runs twice and reports the warm
-  * time — the first run of any query pays one-time planning/codegen cost
-  * that would otherwise dominate small-scale numbers.
+  * printed as ONE JSON line. Each query runs once unmeasured (planning +
+  * codegen + cache fill would otherwise dominate small-scale numbers),
+  * then the reported time is the MIN of two measured passes — identical
+  * code on this shared host swings up to 7x run-to-run (BENCH.md records
+  * 6.4-45.9s for one entry in a single JVM), and min-of-2 is the standard
+  * estimator for the noise-free cost under one-sided contention noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,8 +33,8 @@ object Bench {
     }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      once(name)            // warmup: planning + codegen + cache fill
-      name -> once(name)    // measured
+      once(name)                            // warmup: planning + codegen + cache fill
+      name -> math.min(once(name), once(name)) // min of two measured passes
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -191,7 +191,12 @@ object Forward {
                                mask: Int, weight: Double, prefix: Boolean,
                                qlen: Int, addrPos: Int, addrNum: String,
                                partial: Boolean, numberOrder: String,
-                               fuzzy: Boolean, phrase: String,
+                               fuzzy: Boolean,
+                               // dense index phrase id (IndexBuilder S7) —
+                               // consumed only as a distinct count per Pm
+                               // group, so the row ships a long, not the
+                               // phrase string
+                               phraseId: Long,
                                // matchesLanguage, resolved in codegen (the
                                // lang_set string never reaches the kernel)
                                ml: Boolean,
@@ -1211,7 +1216,7 @@ object Forward {
         col("queryId"), col("layer"), col("subquery"), col("mask"),
         col("weight"), col("is_prefix").as("prefix"), col("qlen"),
         col("addrPos"), col("addrNum"), col("partial"), col("numberOrder"),
-        col("is_fuzzy").as("fuzzy"), col("phrase"),
+        col("is_fuzzy").as("fuzzy"), col("phrase_id").as("phraseId"),
         mlExpr.as("ml"), col("gridsA"), col("gridsB"))
     // with stats on, the phrasematch joins materialize separately so
     // "pm_join" vs "spatialmatch" (coalesce kernel) attribute honestly
@@ -1306,7 +1311,7 @@ object Forward {
             gaF, gbF,
             addrNum, partial, catMatch = cfg.categories.contains(subq),
             addrPos = addrPos, fuzzy = fuzzy,
-            nPhrases = prs.iterator.map(_.phrase).toSet.size,
+            nPhrases = prs.iterator.map(_.phraseId).toSet.size,
             radius = cfg.coalesceRadius)
           }
         }.toVector
