@@ -26,7 +26,7 @@ object ProbeShuffle {
     val index = graft.index.BigGazetteer.buildIndex(spark, nPlaces)
     index.layers.foreach { l =>
       l.postings.count(); l.tileFeatures.count(); l.features.count()
-      l.deletes.count(); l.prefixes.count()
+      l.deletesG.count(); l.prefixesG.count(); l.prefixDeletesG.count()
     }
     index.allTileFeatures.count()
 

@@ -18,7 +18,7 @@ object ProbeV14 {
     val index = graft.index.BigGazetteer.buildIndex(spark, nPlaces)
     index.layers.foreach { l =>
       l.postings.count(); l.tileFeatures.count(); l.features.count()
-      l.deletes.count(); l.prefixes.count()
+      l.deletesG.count(); l.prefixesG.count(); l.prefixDeletesG.count()
     }
     index.allTileFeatures.count()
     val qs = graft.index.BigGazetteer.forwardQueries(spark, n, nPlaces).cache()

@@ -96,7 +96,7 @@ object ScalingBench {
     val index = graft.index.BigGazetteer.buildIndex(spark, NPlaces)
     index.layers.foreach { l =>
       l.postings.count(); l.tileFeatures.count(); l.features.count()
-      l.deletes.count(); l.prefixes.count()
+      l.deletesG.count(); l.prefixesG.count(); l.prefixDeletesG.count()
     }
     index.allTileFeatures.count()
     def geocode(n: Int, st: Option[graft.query.Forward.GeocodeStats]): Long = {

@@ -67,7 +67,7 @@ object SparkEntry {
           val idx = graft.index.BigGazetteer.buildIndex(spark, NPlaces)
           idx.layers.foreach { l =>
             l.postings.count(); l.tileFeatures.count(); l.features.count()
-            l.deletes.count(); l.prefixes.count()
+            l.deletesG.count(); l.prefixesG.count(); l.prefixDeletesG.count()
           }
           idx.allTileFeatures.count()
           cached = Some((spark, idx))

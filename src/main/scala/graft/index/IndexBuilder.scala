@@ -36,7 +36,70 @@ object IndexBuilder {
       prefixes: DataFrame,     // pfx, pfx_len, phrase, layer (autocomplete keys)
       prefixDeletes: DataFrame, // variant, phrase, layer (fuzzy-prefix keys)
       quarantine: DataFrame    // id, error (I1/I18 rejects, reference error strings)
-  )
+  ) {
+    // Grouped candidate tables (the gridstore shape applied to the
+    // phrasematch candidate joins): ONE row per join key with the deduped
+    // (vtext, phrase) payload as an array, grouped once at index time and
+    // cached. The phrasematch joins then deliver whole candidate lists per
+    // key hit and the residual verify runs INSIDE the row (array kernel)
+    // before any explode — the per-query joins never materialize, shuffle
+    // or re-deduplicate the exploded key x phrase fan-out (measured 3.5M
+    // intermediate rows for 2k queries on the prefix-delete join alone).
+    // The flat tables above stay as the storage/export view and are no
+    // longer cached — same net cache footprint.
+    lazy val deletesG: DataFrame = groupCands(deletes, Seq("variant"))
+    lazy val prefixesG: DataFrame = groupCands(prefixes, Seq("pfx", "pfx_len"))
+    lazy val prefixDeletesG: DataFrame = groupCands(prefixDeletes, Seq("variant"))
+
+    /** Address layers only: every individual cluster point exploded to a
+      * row (feature_id, text, score, number, p_lon, p_lat, pz/px/py tile,
+      * idx, layer) — the engine analog of the reference's vectorized
+      * per-number vector-tile points. Built once and cached: nearest-k
+      * reverse lookups previously re-decoded every address feature's
+      * geometry on every call.
+      */
+    lazy val addrPoints: DataFrame = {
+      val spark = features.sparkSession
+      import spark.implicits._
+      val zoom = config.zoom
+      features
+        .select(col("id"), col("text"), col("score"), col("addressnumber"),
+          col("geom_bin"))
+        .as[(Long, String, Double, Seq[Seq[String]], Array[Byte])]
+        .flatMap { case (id, text, score, nums, bin) =>
+          if (bin == null || bin.isEmpty || nums.isEmpty) Iterator.empty
+          else Geom.fromBin(bin) match {
+            case Geom.Collection(parts) =>
+              nums.iterator.zipWithIndex.flatMap { case (ns, k) =>
+                parts.lift(k) match {
+                  case Some(Geom.MultiPoint(mp)) =>
+                    ns.iterator.zipWithIndex.filter(_._2 < mp.length)
+                      .map { case (n, j) =>
+                        (id, text, score, n, mp(j)._1, mp(j)._2) }
+                  case _ => Iterator.empty
+                }
+              }
+            case _ => Iterator.empty
+          }
+        }.toDF("feature_id", "text", "score", "number", "p_lon", "p_lat")
+        .withColumn("pz", lit(zoom))
+        .withColumn("px", graft.ops.GeoOps.tileX(col("p_lon"), zoom))
+        .withColumn("py", graft.ops.GeoOps.tileY(col("p_lat"), zoom))
+        .withColumn("idx", lit(config.idx))
+        .withColumn("layer", lit(config.name))
+        .cache()
+    }
+  }
+
+  /** Group a flat candidate table by its join key: key cols + a deduped
+    * array of (vtext, phrase). collect_set: duplicates collapse at build,
+    * and every consumer is order-insensitive (outputs pass through a
+    * distinct over the final candidate columns).
+    */
+  private def groupCands(flat: DataFrame, keys: Seq[String]): DataFrame =
+    flat.groupBy(keys.map(col): _*)
+      .agg(collect_set(struct(col("vtext"), col("phrase"))).as("cands"))
+      .cache()
 
   /** Max indexed prefix length: longer query prefixes equi-join on their
     * first [[MaxPrefixLen]] chars and finish with a residual startsWith
@@ -464,7 +527,6 @@ object IndexBuilder {
         }
         .toDF("variant", "vtext", "phrase")
         .withColumn("layer", lit(cfg.name))
-        .cache()
 
       // 7. bounded-length prefix keys for autocomplete (P1 prefix branch):
       // (pfx, pfx_len) is an equi-join key — no nested-loop prefix scan
@@ -478,7 +540,6 @@ object IndexBuilder {
         }
         .toDF("pfx", "pfx_len", "vtext", "phrase")
         .withColumn("layer", lit(cfg.name))
-        .cache()
 
       // 8. fuzzy-prefix keys (P6 prefix tail, reference endingType
       // anyPrefix/wordBoundaryPrefix into the fuzzy store,
@@ -502,7 +563,6 @@ object IndexBuilder {
         }
         .toDF("variant", "vtext", "phrase")
         .withColumn("layer", lit(cfg.name))
-        .cache()
 
       LayerIndex(cfg, features, postings, tileFeatures, math.max(maxScore, 0.0),
         deletes, prefixes, prefixDeletes, quarantine)

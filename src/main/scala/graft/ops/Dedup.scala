@@ -61,6 +61,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct()
 
+    // threshold <= 0 asks for the raw candidate set (the exact-verify
+    // pipeline's generation step): est_jaccard is always in [0, 1], so the
+    // signature joins + zip_with below filter nothing — skip them (two
+    // joins and two extra evaluations of the signature UDF removed)
+    if (threshold <= 0.0)
+      return cand.withColumn("est_jaccard", lit(1.0))
+
     // verify candidates against full signatures — plain equi-joins on id:
     // at scale the signature table exceeds broadcast, so let AQE pick the
     // join strategy per size
@@ -86,10 +93,20 @@ object Dedup {
   def minhashLshExactPairs(df: DataFrame, idCol: String, textCol: String,
                            numHashes: Int = 64, rowsPerBand: Int = 4,
                            threshold: Double = 0.7): DataFrame = {
-    val cand = minhashLshPairs(df, idCol, textCol, numHashes, rowsPerBand,
+    // single-file sources arrive as ONE scan split: spread (id, text) over
+    // the cores first so the signature/shingle kernels parallelize; the two
+    // consumers below share the one exchange (ReusedExchange)
+    val src = df.select(col(idCol), col(textCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val cand = minhashLshPairs(src, idCol, textCol, numHashes, rowsPerBand,
       threshold = 0.0).select(col("id_a"), col("id_b"))
-    val inv = df.select(col(idCol).as("id"),
+    // materialize the inverted shingle index once: it feeds three plan
+    // branches (sizes, the id_a join, the id_b join) and without the cut
+    // each branch re-scans the input and re-evaluates the shingle
+    // expressions (the unoptimized plan holds 24 copies of the source scan)
+    val inv = src.select(col(idCol).as("id"),
       explode(array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), 3))).as("s"))
+      .localCheckpoint()
     val sizes = inv.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = cand
       .join(inv.select(col("id").as("id_a"), col("s")), "id_a")
@@ -110,7 +127,10 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), Signatures.simhashUdf(col(textCol)).as("sim"))
+    val sigs = df.select(col(idCol), col(textCol))
+      // spread the single-split source scan before the signature kernel
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("id"), Signatures.simhashUdf(col(textCol)).as("sim"))
     val banded = sigs.select(col("id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sim"), b * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("band", "bandVal")))
@@ -135,11 +155,17 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxDf: Int = 100): DataFrame = {
-    val inv = df.select(col(idCol).as("id"),
-      explode(Signatures.shinglesUdf(n)(col(textCol))).as("s"))
+    val inv = df.select(col(idCol), col(textCol))
+      // spread the single-split source scan before the shingle kernel
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("id"),
+        explode(Signatures.shinglesUdf(n)(col(textCol))).as("s"))
     val rare = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("s"))
-    val invRare = inv.join(rare, "s")
+    // materialize the df-capped inverted index once: sizes and both
+    // self-join sides otherwise each re-run the shingle UDF scan AND the
+    // df-cap join (4 copies of the whole subtree in the unoptimized plan)
+    val invRare = inv.join(rare, "s").localCheckpoint()
     val sizes = invRare.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = invRare.as("x").join(invRare.as("y"), col("x.s") === col("y.s"))
       .where(col("x.id") < col("y.id"))

@@ -29,7 +29,12 @@ object Multimodal {
       MediaCodec.probeWav(bytes).map { case (sr, n, ch) =>
         ("audio", sr, n, ch, bytes.length) }.orNull
     } else null
-  })
+    // nondeterministic: the `where(meta.isNotNull)` filter in mediaFeatures
+    // otherwise gets pushed below the projection AND kept above it, so the
+    // probe (and the upstream payload-producing expression) evaluates twice
+    // per row — the classic duplicated-UDF plan; the marker pins a single
+    // evaluation (verified in plans/r06/multimodal_features_*.txt)
+  }).asNondeterministic()
 
   /** Decode + feature extract: 8-dim vector of real content statistics.
     * Images: per-channel mean (3) + per-channel std (3) + luma mean + luma
@@ -166,7 +171,16 @@ object Multimodal {
         MediaCodec.encodeWav(8000, samples)
       }
     })
-    events.select(col("event_id").as("media_id"), gen(col("event_id")).as("media"))
+    // the events table is a single smallish parquet file, so its scan gets
+    // ONE input split — without a repartition every PNG/WAV encode (and the
+    // downstream decode) runs on a single core. Repartition the 8-byte ids
+    // BEFORE generating the heavy payload bytes (decide/spread with small
+    // rows, produce big rows after); core-count-derived partitioning, not a
+    // constant, so the spread follows the session's parallelism
+    val parts = events.sparkSession.sparkContext.defaultParallelism
+    events.select(col("event_id").as("media_id"))
+      .repartition(parts, col("media_id"))
+      .select(col("media_id"), gen(col("media_id")).as("media"))
   }
 
   /** The full multimodal pipeline: probe -> filter decodable -> features. */

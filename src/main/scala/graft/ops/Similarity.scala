@@ -61,6 +61,10 @@ object Similarity {
       .map { case (id, v) => (id, normalized(v)) }
     val bc = spark.sparkContext.broadcast(q)
     val local = corpus.select(col(idCol).cast("long"), col(vecCol))
+      // spread the single-split corpus scan so the brute-force kernel uses
+      // every core (one small parquet file = one task otherwise)
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val qs = bc.value
@@ -362,6 +366,10 @@ object Similarity {
       out
     })
     val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      // spread the single-split source scan across cores BEFORE the
+      // normalize/signature kernels (a small single parquet file otherwise
+      // pins the whole per-vector compute to one task)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
       .withColumn("vn", normalizeUdf(col("v")))
       .localCheckpoint()
     val n = vecs.count()

@@ -155,6 +155,40 @@ object Forward {
     (q: String, p: String, wordBoundary: Boolean) =>
       Fuzzy.fuzzyPrefixMatch(q, p, wordBoundary))
 
+  final case class FuzzPfxKeep(phrase: String, edit: Int, corrected: String)
+
+  /** Array kernel over a grouped deletes hit: the phrases whose vtext is
+    * within exactly one DL edit of the window text, deduped (several vtexts
+    * may map to one phrase; the edit is 1 by construction, so the phrase
+    * alone identifies the output row).
+    */
+  private val fuzzyKeepUdf = udf((q: String, cands: Seq[org.apache.spark.sql.Row]) => {
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    cands.foreach { r =>
+      val vt = r.getString(0)
+      if (vt != q && Fuzzy.phraseDistance(q, vt).contains(1))
+        out += r.getString(1)
+    }
+    out.toSeq
+  })
+
+  /** Array kernel over a grouped prefix-deletes hit: the distinct verified
+    * (phrase, edit, corrected-window-text) tuples under the word-budgeted
+    * fuzzy-prefix match (several vtexts may verify the same phrase with
+    * different corrections — all distinct outcomes survive, exactly like
+    * the flat join + row verify + distinct).
+    */
+  private val fuzzyPfxKeepUdf = udf(
+    (q: String, wordBoundary: Boolean, cands: Seq[org.apache.spark.sql.Row]) => {
+      val out = scala.collection.mutable.LinkedHashSet.empty[FuzzPfxKeep]
+      cands.foreach { r =>
+        Fuzzy.fuzzyPrefixMatch(q, r.getString(0), wordBoundary).foreach {
+          case (ed, corr) => out += FuzzPfxKeep(r.getString(1), ed, corr)
+        }
+      }
+      out.toSeq
+    })
+
   /** Subquery window row. addrPos = -1 when the window carries no masked
     * house number; partial marks a proximity partial-number search. The mask
     * lives in ORIGINAL query-token space (owner-mapped, P2); editDist > 0
@@ -477,10 +511,12 @@ object Forward {
       }.toDF()
   }
 
-  /** Lead cover joined to its feature, pre-address-resolution. */
+  /** Lead cover joined to its feature, pre-address-resolution. `score` is
+    * the cover's decoded score (the V6 disambiguation round-trip input).
+    */
   final case class LeadRaw(
       query_id: Long, position: Int, tmpid: Long, idx: Int, mask: Int,
-      relev: Double, text: String, zoom: Int, smRelev: Double,
+      relev: Double, text: String, score: Double, zoom: Int, smRelev: Double,
       scoredist: Double, addrNum: String, partial: Boolean, addrPos: Int,
       phraseHash: Int, matchesLang: Boolean, x: Int, y: Int,
       featureId: Long, lon: Double, lat: Double, display: String,
@@ -524,6 +560,11 @@ object Forward {
       // reference's carmen:position value (startPos + pos, including the
       // off-by-one startPos quirk for backfill chunks, verifymatch.js:160)
       vorder: Int = -1, cpos: Int = 0)
+
+  /** A resolved lead candidate with its V6 disambiguation key (the
+    * per-(query, position) pick happens inside the verify kernel).
+    */
+  final case class LeadCand(out: LeadOut, d1: Int, d2: Int, d3: Int)
 
   /** Per-layer text info for verify/format (simple replacer, intersection
     * token, category set, routable flag).
@@ -901,6 +942,20 @@ object Forward {
   private def phrasematchJoins(searchIndex: CarmenIndex, subs: DataFrame,
                                autocomplete: Boolean,
                                fuzzy: Boolean): DataFrame = {
+    val candAll = candidateBranches(searchIndex, subs, autocomplete, fuzzy)
+      .map(_._2).reduce(_ unionByName _)
+    val postings = searchIndex.layers.map { l =>
+      l.postings.withColumn("qsig", lit(l.config.querySignature))
+    }.reduce(_ unionByName _)
+    postings.join(candAll, Seq("qsig", "phrase")).drop("qsig")
+  }
+
+  /** The labeled candidate branches of [[phrasematchJoins]] (exposed for
+    * stage attribution probes).
+    */
+  private[graft] def candidateBranches(searchIndex: CarmenIndex, subs: DataFrame,
+                                       autocomplete: Boolean,
+                                       fuzzy: Boolean): Vector[(String, DataFrame)] = {
     val spark = subs.sparkSession
     import spark.implicits._
     def tagSig(dfOf: IndexBuilder.LayerIndex => DataFrame): DataFrame =
@@ -918,11 +973,6 @@ object Forward {
     // against `vtext` (the replacement-variant text a typed prefix actually
     // extends — reference loadWordReplacements semantics); `phrase` stays
     // the stored form that keys the postings.
-    val prefixOk =
-      when(col("wordBoundary"),
-        col("vtext").startsWith(concat(col("subquery"), lit(" "))))
-      .otherwise(col("vtext").startsWith(col("subquery")) &&
-        col("vtext") =!= col("subquery"))
     val exactCand = subs
       .withColumn("phrase", col("subquery"))
       .withColumn("is_prefix", lit(false))
@@ -935,8 +985,20 @@ object Forward {
         val pfxSubs = subs.where(col("ender"))
           .withColumn("pfx", substring(col("subquery"), 1, maxPfx))
           .withColumn("pfx_len", least(length(col("subquery")), lit(maxPfx)))
-        tagSig(_.prefixes).join(pfxSubs, Seq("pfx", "pfx_len", "qsig"))
-          .where(prefixOk)
+        // grouped prefix table: one row per (pfx, pfx_len) with the whole
+        // (vtext, phrase) candidate array; the startsWith residual runs as
+        // an array filter (codegen higher-order function) BEFORE the
+        // explode, so non-extending phrases never become rows
+        tagSig(_.prefixesG).join(pfxSubs, Seq("pfx", "pfx_len", "qsig"))
+          .select(col("qsig"), col("queryId"), col("subquery"), col("mask"),
+            col("weight"), col("qlen"), col("addrPos"), col("addrNum"),
+            col("partial"), col("numberOrder"),
+            explode(filter(col("cands"), c =>
+              when(col("wordBoundary"),
+                c.getField("vtext").startsWith(concat(col("subquery"), lit(" "))))
+              .otherwise(c.getField("vtext").startsWith(col("subquery")) &&
+                c.getField("vtext") =!= col("subquery")))).as("c"))
+          .withColumn("phrase", col("c.phrase"))
           .withColumn("is_prefix", lit(true))
           .withColumn("is_fuzzy", lit(false))
           .select(candCols: _*)
@@ -960,17 +1022,18 @@ object Forward {
               FuzzVar(s.queryId, s.subquery, s.mask, s.ender, s.weight, s.qlen,
                 s.qsig, v, s.addrPos, s.addrNum, s.numberOrder))
           }.toDF()
-        tagSig(_.deletes).join(qVariants, Seq("variant", "qsig"))
-          .where(col("vtext") =!= col("subquery"))
-          .select(col("qsig"), col("phrase").as("cand_phrase"),
-            col("vtext"),
+        // grouped deletes table: the DL<=1 verify runs as an array kernel
+        // per key hit (fuzzyKeepUdf) and only verified phrases explode —
+        // the exploded-row distinct + per-row verify of the flat join is
+        // gone. The edit is always exactly 1 here, so the weight penalty
+        // depends only on the window's original subquery.
+        tagSig(_.deletesG).join(qVariants, Seq("variant", "qsig"))
+          .select(col("qsig"),
             col("queryId"), col("subquery"), col("mask"),
             col("weight"), col("qlen"), col("addrPos"), col("addrNum"),
-            col("numberOrder"))
-          .distinct()
-          .withColumn("edit", phraseDistUdf(col("subquery"), col("vtext")))
-          .where(col("edit") === 1)
-          .withColumn("weight", col("weight") * penaltyUdf(col("subquery"), col("edit")))
+            col("numberOrder"),
+            explode(fuzzyKeepUdf(col("subquery"), col("cands"))).as("cand_phrase"))
+          .withColumn("weight", col("weight") * penaltyUdf(col("subquery"), lit(1)))
           // the MATCHED phrase becomes the cover text (reference
           // phrasematch.js:242 `sq = phraseSetMatches[i].phrase`): dedupe
           // keys and V6 disambiguation see the corrected text, so a fuzzy
@@ -981,8 +1044,8 @@ object Forward {
           .withColumn("is_prefix", lit(false))
           .withColumn("is_fuzzy", lit(true))
           .select(candCols: _*)
-          // one row per (window, phrase): several replacement variants may
-          // verify the same candidate
+          // one row per (window, phrase): several replacement variants /
+          // sibling layers may verify the same candidate
           .distinct()
       }
     // fuzzy-prefix branch (P6 tail): autocomplete ender windows whose typo
@@ -1006,32 +1069,62 @@ object Forward {
                 s.qsig, v, s.addrPos, s.addrNum, s.numberOrder,
                 s.wordBoundary))
           }.toDF()
-        tagSig(_.prefixDeletes).join(qVariants, Seq("variant", "qsig"))
-          .select(col("qsig"), col("phrase").as("cand_phrase"),
-            col("vtext"),
+        // grouped prefix-delete table: the word-budgeted DL<=1 prefix
+        // verify runs as an array kernel per key hit (fuzzyPfxKeepUdf),
+        // emitting only the distinct verified (phrase, edit, corrected)
+        // tuples — the flat join's multi-million-row explode + distinct
+        // (3.5M intermediate rows for 2k queries, measured) never exists
+        tagSig(_.prefixDeletesG).join(qVariants, Seq("variant", "qsig"))
+          .select(col("qsig"),
             col("queryId"), col("subquery"), col("mask"), col("weight"),
             col("qlen"), col("addrPos"), col("addrNum"), col("numberOrder"),
-            col("wordBoundary"))
-          .distinct()
-          .withColumn("fp", fuzzyPrefixUdf(col("subquery"), col("vtext"),
-            col("wordBoundary")))
-          .where(col("fp").isNotNull)
+            explode(fuzzyPfxKeepUdf(col("subquery"), col("wordBoundary"),
+              col("cands"))).as("k"))
           .withColumn("weight", col("weight") * penaltyUdf(col("subquery"),
-            col("fp._1")))
+            col("k.edit")))
           // as in the full-phrase fuzzy branch: the corrected text becomes
           // the cover text (dedupe keys and V6 disambiguation see it)
-          .withColumn("subquery", col("fp._2"))
-          .withColumn("phrase", col("cand_phrase"))
+          .withColumn("subquery", col("k.corrected"))
+          .withColumn("phrase", col("k.phrase"))
           .withColumn("partial", lit(false))
           .withColumn("is_prefix", lit(true))
           .withColumn("is_fuzzy", lit(true))
           .select(candCols: _*)
           .distinct()
       }
-    val candAll = (Seq(exactCand) ++ prefixCand ++ fuzzyCand ++ fuzzyPrefixCand)
-      .reduce(_ unionByName _)
-    val postings = tagSig(_.postings)
-    postings.join(candAll, Seq("qsig", "phrase")).drop("qsig")
+    (Vector("exact" -> exactCand) ++ prefixCand.map("prefix" -> _) ++
+      fuzzyCand.map("fuzzy" -> _) ++ fuzzyPrefixCand.map("fuzzyPfx" -> _))
+  }
+
+  /** Probe hooks: the phrasematch internals with default options, for the
+    * stage-attribution mains (ProbePm2).
+    */
+  private[graft] def subqueriesForProbe(spark: SparkSession, index: CarmenIndex,
+                                        queries: DataFrame): DataFrame =
+    subqueries(spark, queries, queryGroups(index), proximityDefined = false)
+      .localCheckpoint()
+  private[graft] def phrasematchBranchesForProbe(index: CarmenIndex,
+                                                 subs: DataFrame): Vector[(String, DataFrame)] =
+    candidateBranches(index, subs, autocomplete = true, fuzzy = true)
+  private[graft] def phrasematchJoinsForProbe(index: CarmenIndex,
+                                              subs: DataFrame): DataFrame =
+    phrasematchJoins(index, subs, autocomplete = true, fuzzy = true)
+  private[graft] def pmRowsForProbe(index: CarmenIndex,
+                                    matched: DataFrame): DataFrame = {
+    val langTargetExpr = coalesce(
+      element_at(typedLit(index.layers.map(l =>
+        l.config.name -> "default").toMap), col("layer")), lit("default"))
+    val langsExpr = split(col("lang_set"), ",")
+    val mlExpr = when(col("lang_set").isNull || col("lang_set") === "",
+        lit(true))
+      .otherwise(array_contains(langsExpr, "all") ||
+        array_contains(langsExpr, langTargetExpr))
+    matched.select(
+      col("queryId"), col("layer"), col("subquery"), col("mask"),
+      col("weight"), col("is_prefix").as("prefix"), col("qlen"),
+      col("addrPos"), col("addrNum"), col("partial"), col("numberOrder"),
+      col("is_fuzzy").as("fuzzy"), col("phrase_id").as("phraseId"),
+      mlExpr.as("ml"), col("gridsA"), col("gridsB"))
   }
 
   /** O3 debug surface (reference geocode.js:402-414, options.debug
@@ -1424,43 +1517,35 @@ object Forward {
     // features share id24 + tile, prefer the one whose 3-bit score
     // round-trips to the cover score, then the one with a synonym whose
     // phraseHash matches, closest by Levenshtein to the cover text.
+    // The disambiguation key is computed in the same narrow map as
+    // resolveLead (pipelined with the feature join — no window exchange of
+    // the wide feature-payload rows) and the per-position pick happens
+    // inside the per-query verify kernel.
     val sfByIdx: Map[Int, Double] = index.layers.map(l =>
       l.config.idx -> l.scorefactor).toMap
     val sfBc = spark.sparkContext.broadcast(sfByIdx)
-    val disambUdf = udf((idx: Int, coverScore: Double, phraseHash: Int,
-                         coverText: String, fScore: Double, fText: String) => {
-      val sf = sfBc.value.getOrElse(idx, 0.0)
+    def disambOf(r: LeadRaw): (Int, Int, Int) = {
+      if (r.featureId < 0) return (0, 0, 0)
+      val sf = sfBc.value.getOrElse(r.idx, 0.0)
       val scoreMatch = sf == 0.0 || {
-        val enc = GridCodec.encode3BitLogScale(fScore, sf)
-        GridCodec.decode3BitLogScaleRounded(enc, sf) == JsNum.jsRound(coverScore)
+        val enc = GridCodec.encode3BitLogScale(r.fScore, sf)
+        GridCodec.decode3BitLogScaleRounded(enc, sf) == JsNum.jsRound(r.score)
       }
       var hashMatch = false
       var minLev = Int.MaxValue
-      fText.split(",").foreach { syn =>
-        if (Murmur3.phraseHash(syn) == phraseHash) {
+      r.fFullText.split(",").foreach { syn =>
+        if (Murmur3.phraseHash(syn) == r.phraseHash) {
           hashMatch = true
-          val d = Fuzzy.levenshtein(coverText, syn.trim.toLowerCase)
+          val d = Fuzzy.levenshtein(r.text, syn.trim.toLowerCase)
           if (d < minLev) minLev = d
         }
       }
       (if (scoreMatch) 0 else 1, if (hashMatch) 0 else 1, minLev)
-    })
-    val leadJoined = leadJoined0
-      .withColumn("disamb", when(col("f_id24").isNull,
-          struct(lit(0).as("_1"), lit(0).as("_2"), lit(0).as("_3")))
-        .otherwise(disambUdf(col("idx"), col("score"), col("phraseHash"),
-          col("text"), coalesce(col("f_score"), lit(0.0)),
-          coalesce(col("f_text"), lit("")))))
-      .withColumn("pickf", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"), col("position"))
-          .orderBy(col("disamb._1"), col("disamb._2"), col("disamb._3"),
-            col("feature_id"))))
-      .where(col("pickf") === 1)
-      .drop("disamb", "pickf")
+    }
     val emptyNested = lit(array()).cast("array<array<string>>")
-    val leadRaw = leadJoined.select(col("query_id"), col("position"),
+    val leadRaw = leadJoined0.select(col("query_id"), col("position"),
       col("tmpid"), col("idx"), col("mask"), col("relev"), col("text"),
+      col("score"),
       col("zoom"), col("smRelev"), col("scoredist"), col("addrNum"),
       col("partial"), col("addrPos"), col("phraseHash"), col("matchesLang"),
       col("x"), col("y"),
@@ -1535,13 +1620,21 @@ object Forward {
     val stackLim = opts.stackLimit
     val proximitySet = proximity.isDefined
     val leadOut = timed(stats, "verifymatch") {
+      // resolveLead AND the V6 disambiguation key compute in one narrow map
+      // pipelined with the feature join: the wide feature-payload rows never
+      // cross an exchange (the old plan shuffled them through a
+      // row_number window before resolution — one full exchange + sort of
+      // feature payloads per call, deleted)
       val resolved = leadRaw
-        .map(r => resolveLead(r, proximity, language, languageMode, routing,
-          globalMinScore, globalMaxScore, layerTextBc.value))
+        .map { r =>
+          val (d1, d2, d3) = disambOf(r)
+          LeadCand(resolveLead(r, proximity, language, languageMode, routing,
+            globalMinScore, globalMaxScore, layerTextBc.value), d1, d2, d3)
+        }
       // V14: the feature-phase chunk machine replays per query over the
       // batch-loaded candidates, emitting only the verified leads (at most
       // stackLimit) that context fill + re-rank run on
-      val ck = resolved.groupByKey(_.query_id).flatMapGroups { (_, it) =>
+      val ck = resolved.groupByKey(_.out.query_id).flatMapGroups { (_, it) =>
         val (cfgs, _) = cfgBc.value
         val cfgByIdxA: Map[Int, (String, LayerConfig)] =
           cfgs.map { case (name, (c, _)) => c.idx -> ((name, c)) }
@@ -1562,7 +1655,15 @@ object Forward {
               }
             }
           }
-        verifyFeaturePhase(it.toVector, stackLim, proximitySet, filtersActive,
+        // V6 pick per (query, position): several features sharing the
+        // cover's (idx, id24, tile) resolve to the best disambiguation key
+        // (was a row_number window over the wide joined rows)
+        val picked = it.toVector.groupBy(_.out.position).valuesIterator
+          .map { cands =>
+            (if (cands.length == 1) cands.head
+             else cands.minBy(c => (c.d1, c.d2, c.d3, c.out.featureId))).out
+          }.toVector
+        verifyFeaturePhase(picked, stackLim, proximitySet, filtersActive,
           typeAllowedA).iterator
       }.toDF().localCheckpoint()
       stats.foreach(_.counts("verifymatch") = ck.count())
@@ -1678,8 +1779,8 @@ object Forward {
         val rows = v.map(_._1)
         val picks = rows.groupBy(_.idx).toVector.sortBy(_._1)
           .flatMap { case (_, rs) =>
-            Reverse.pickPerIdx(rs, scoreMode = false,
-              scoreModeEnabled = false, None, None)
+            Reverse.pickPerIdx(Reverse.rankCap(rs, Reverse.ContextModeLimit),
+              scoreMode = false, scoreModeEnabled = false, None, None)
           }
         Reverse.stackMemo(picks, Reverse.StackOpts(maxtype = maxtype))
           .map(s => CtxOut(qid, pos, s.cand.idx, s.cand.feature_id,

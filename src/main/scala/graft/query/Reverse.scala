@@ -31,11 +31,15 @@ object Reverse {
   // PIP/distance over the PRE-PARSED binary geometry column (geom_bin,
   // written at index-build time): no JSON parse in any per-candidate path —
   // this join is hit by every reverse geocode and every forward context fill.
-  private val pipUdf = udf((bin: Array[Byte], lon: Double, lat: Double) =>
-    Geom.contains(Geom.fromBin(bin), lon, lat))
-
-  private val geomDistUdf = udf((bin: Array[Byte], lon: Double, lat: Double) =>
-    Geom.distanceMiles(Geom.fromBin(bin), lon, lat))
+  // ONE fused kernel per candidate row: containment and distance share a
+  // single Geom.fromBin parse (they were two UDFs = two parses), and the
+  // nondeterministic marker stops the optimizer from copying the call into
+  // the pushed-down filter (the duplicated-UDF plan of guide §4.4).
+  private val pipDistUdf = udf((bin: Array[Byte], lon: Double, lat: Double) => {
+    val g = Geom.fromBin(bin)
+    val hit = Geom.contains(g, lon, lat)
+    (hit, if (hit) 0.0 else Geom.distanceMiles(g, lon, lat))
+  }).asNondeterministic()
 
   /** distscore as a Column (reference lib/util/proximity.js:192-198). */
   def distscoreCol(dist: Column, score: Column): Column =
@@ -127,10 +131,10 @@ object Reverse {
     val joined = tiles.join(tf, tiles("z") === tf("z") && tiles("tx") === tf("x") &&
         tiles("ty") === tf("y"))
       .drop(tf("z"))
-      .withColumn("direct_hit", pipUdf(col("geom_bin"), col("lon"), col("lat")))
-      .withColumn("dist_miles",
-        when(col("direct_hit"), lit(0.0)).otherwise(
-          geomDistUdf(col("geom_bin"), col("lon"), col("lat"))))
+      .withColumn("pd", pipDistUdf(col("geom_bin"), col("lon"), col("lat")))
+      .withColumn("direct_hit", col("pd._1"))
+      .withColumn("dist_miles", col("pd._2"))
+      .drop("pd")
       // vtquery direct_hit_polygon (context.js:587, 604): polygon features
       // only match when the point is INSIDE; points/lines by radius
       .where(col("direct_hit") ||
@@ -138,12 +142,12 @@ object Reverse {
           col("dist_miles") <= radiusCol))
     // ghost pre-filter only in distance mode (basic-filters, context.js:588)
     val ghosted = if (distanceMode) joined.where(col("score") >= 0) else joined
-    val cap = if (distanceMode) DistanceModeLimit else ContextModeLimit
+    // the per-(query, sub, idx) (distance, id) rank + vtquery cap now run
+    // inside each consumer's per-query kernel ([[rankCap]]) — every caller
+    // groups by (query_id[, sub]) anyway, so the row_number window here was
+    // a whole extra exchange + sort of the candidate rows
     val ranked = ghosted
-      .withColumn("rnk", row_number().over(Window
-        .partitionBy(col("query_id"), col("sub"), col("idx"))
-        .orderBy(col("dist_miles").asc, col("feature_id").asc)))
-      .where(col("rnk") <= cap)
+      .withColumn("rnk", lit(0))
       .withColumn("tmpid", tmpidCol(col("idx"), col("feature_id")))
     val flagged = matchedDf match {
       case Some(m) =>
@@ -164,6 +168,19 @@ object Reverse {
       col("matched"), col("rnk"))
       .as[CandRow]
   }
+
+  /** The vtquery result cap for a candidate list (context.js:587-588). */
+  def vtqueryCap(distanceMode: Boolean): Int =
+    if (distanceMode) DistanceModeLimit else ContextModeLimit
+
+  /** Rank one (query, sub, idx) candidate group by (distance, id) and apply
+    * the vtquery cap — the in-kernel replacement for the former row_number
+    * window inside [[candidates]] (same order, same cap, one less shuffle).
+    */
+  def rankCap(rows: Vector[CandRow], cap: Int): Vector[CandRow] =
+    rows.sortBy(r => (r.dist_miles, r.feature_id))
+      .take(cap)
+      .zipWithIndex.map { case (r, i) => r.copy(rnk = i + 1) }
 
   /** processVtQueryResults (reference context.js:448-556): pick one feature
     * per layer from its (distance, id)-ordered candidate list.
@@ -392,12 +409,13 @@ object Reverse {
     val optsB = opts
     val stackO = StackOpts(types = opts.types, scoreMode = scoreMode,
       full = true)
+    val cap = vtqueryCap(distanceMode)
     val stacked = cands.groupByKey(_.query_id).flatMapGroups { (_, it) =>
       val rows = it.toVector
       val picks = rows.groupBy(_.idx).toVector.sortBy(_._1)
         .flatMap { case (idx, rs) =>
           val (revModeOk, autoSf) = cfgByIdx.getOrElse(idx, (true, None))
-          pickPerIdx(rs, scoreMode, revModeOk,
+          pickPerIdx(rankCap(rs, cap), scoreMode, revModeOk,
             optsB.scoreFilter.orElse(autoSf), None)
         }
       stackContexts(picks, optsB, stackO).iterator
@@ -583,9 +601,10 @@ object Reverse {
             tiles("ty") === tf("y"))
           .drop(tf("z"))
           .where(col("score") >= 0)
-          .withColumn("direct_hit", pipUdf(col("geom_bin"), col("lon"), col("lat")))
-          .withColumn("dist_miles", when(col("direct_hit"), lit(0.0)).otherwise(
-            geomDistUdf(col("geom_bin"), col("lon"), col("lat"))))
+          .withColumn("pd", pipDistUdf(col("geom_bin"), col("lon"), col("lat")))
+          .withColumn("direct_hit", col("pd._1"))
+          .withColumn("dist_miles", col("pd._2"))
+          .drop("pd")
           // direct_hit_polygon: nearest-k never returns a polygon the
           // point is outside of
           .where(col("direct_hit") ||
@@ -596,35 +615,10 @@ object Reverse {
             col("f_lon").as("center_lon"), col("f_lat").as("center_lat"),
             col("number")))
       }
-    val sparkSess = points.sparkSession
-    import sparkSess.implicits._
     val addrCand: Option[DataFrame] = addrLayers.map { l =>
-      val zoom = l.config.zoom
-      val pts0 = l.features
-        .select(col("id"), col("text"), col("score"), col("addressnumber"),
-          col("geom_bin"))
-        .as[(Long, String, Double, Seq[Seq[String]], Array[Byte])]
-        .flatMap { case (id, text, score, nums, bin) =>
-          if (bin == null || bin.isEmpty || nums.isEmpty) Iterator.empty
-          else Geom.fromBin(bin) match {
-            case Geom.Collection(parts) =>
-              nums.iterator.zipWithIndex.flatMap { case (ns, k) =>
-                parts.lift(k) match {
-                  case Some(Geom.MultiPoint(mp)) =>
-                    ns.iterator.zipWithIndex.filter(_._2 < mp.length)
-                      .map { case (n, j) =>
-                        (id, text, score, n, mp(j)._1, mp(j)._2) }
-                  case _ => Iterator.empty
-                }
-              }
-            case _ => Iterator.empty
-          }
-        }.toDF("feature_id", "text", "score", "number", "p_lon", "p_lat")
-        .withColumn("pz", lit(zoom))
-        .withColumn("px", GeoOps.tileX(col("p_lon"), zoom))
-        .withColumn("py", GeoOps.tileY(col("p_lat"), zoom))
-        .withColumn("idx", lit(l.config.idx))
-        .withColumn("layer", lit(l.config.name))
+      // per-layer cached address-point table (built once per index): the
+      // per-call geometry decode + explode of every address feature is gone
+      val pts0 = l.addrPoints
       tiles.join(pts0, tiles("z") === pts0("pz") && tiles("tx") === pts0("px") &&
           tiles("ty") === pts0("py"))
         .where(col("score") >= 0)
@@ -703,13 +697,14 @@ object Reverse {
         val rows = v.map(_._1)
         val picks = rows.groupBy(_.idx).toVector.sortBy(_._1)
           .flatMap { case (idx, rs) =>
+            val capped = rankCap(rs, ContextModeLimit)
             // target-type layers: only the target's own layer is queried,
             // exclusively for the target feature (context.js:116-127)
             if (typByIdx.getOrElse(idx, "") == baseType) {
               if (idx != meta.target_idx) None
-              else pickPerIdx(rs, scoreMode = false, scoreModeEnabled = false,
+              else pickPerIdx(capped, scoreMode = false, scoreModeEnabled = false,
                 None, Some(meta.target_tmpid))
-            } else pickPerIdx(rs, scoreMode = false, scoreModeEnabled = false,
+            } else pickPerIdx(capped, scoreMode = false, scoreModeEnabled = false,
               None, None)
           }
         // one context per target (no suffix splitting for limit reverse)
