@@ -21,8 +21,11 @@ object ProbeAddr {
     val index = graft.index.BigGazetteer.buildIndex(spark, 22000)
     index.layers.foreach { l =>
       l.postings.count(); l.tileFeatures.count(); l.features.count()
-      l.deletesG.count(); l.prefixesG.count(); l.prefixDeletesG.count()
     }
+    index.candByQsig.values.foreach { case (d, p, pd) =>
+      d.count(); p.count(); pd.count()
+    }
+    index.allPostingsQsig.count()
     index.allTileFeatures.count()
     println(f"PROBE build_index ${(System.nanoTime() - t0) / 1e9}%.1fs")
 

@@ -23,12 +23,15 @@ object ProbeCtx {
     val index = graft.index.BigGazetteer.buildIndex(spark, 22000)
     index.layers.foreach { l =>
       l.postings.count(); l.tileFeatures.count(); l.features.count()
-      l.deletesG.count(); l.prefixesG.count(); l.prefixDeletesG.count()
     }
+    index.candByQsig.values.foreach { case (d, p, pd) =>
+      d.count(); p.count(); pd.count()
+    }
+    index.allPostingsQsig.count()
     index.allTileFeatures.count()
-    println(s"PROBE grouped sizes deletesG=${index.layers.map(_.deletesG.count()).sum} " +
-      s"prefixesG=${index.layers.map(_.prefixesG.count()).sum} " +
-      s"prefixDeletesG=${index.layers.map(_.prefixDeletesG.count()).sum}")
+    println(s"PROBE grouped sizes deletesG=${index.candByQsig.values.map(_._1.count()).sum} " +
+      s"prefixesG=${index.candByQsig.values.map(_._2.count()).sum} " +
+      s"prefixDeletesG=${index.candByQsig.values.map(_._3.count()).sum}")
 
     def time[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime()

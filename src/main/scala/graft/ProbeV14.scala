@@ -18,8 +18,11 @@ object ProbeV14 {
     val index = graft.index.BigGazetteer.buildIndex(spark, nPlaces)
     index.layers.foreach { l =>
       l.postings.count(); l.tileFeatures.count(); l.features.count()
-      l.deletesG.count(); l.prefixesG.count(); l.prefixDeletesG.count()
     }
+    index.candByQsig.values.foreach { case (d, p, pd) =>
+      d.count(); p.count(); pd.count()
+    }
+    index.allPostingsQsig.count()
     index.allTileFeatures.count()
     val qs = graft.index.BigGazetteer.forwardQueries(spark, n, nPlaces).cache()
     qs.count()

@@ -96,8 +96,11 @@ object ScalingBench {
     val index = graft.index.BigGazetteer.buildIndex(spark, NPlaces)
     index.layers.foreach { l =>
       l.postings.count(); l.tileFeatures.count(); l.features.count()
-      l.deletesG.count(); l.prefixesG.count(); l.prefixDeletesG.count()
     }
+    index.candByQsig.values.foreach { case (d, p, pd) =>
+      d.count(); p.count(); pd.count()
+    }
+    index.allPostingsQsig.count()
     index.allTileFeatures.count()
     def geocode(n: Int, st: Option[graft.query.Forward.GeocodeStats]): Long = {
       val qs = graft.index.BigGazetteer.forwardQueries(spark, n, NPlaces)

@@ -67,8 +67,11 @@ object SparkEntry {
           val idx = graft.index.BigGazetteer.buildIndex(spark, NPlaces)
           idx.layers.foreach { l =>
             l.postings.count(); l.tileFeatures.count(); l.features.count()
-            l.deletesG.count(); l.prefixesG.count(); l.prefixDeletesG.count()
           }
+          idx.candByQsig.values.foreach { case (d, p, pd) =>
+            d.count(); p.count(); pd.count()
+          }
+          idx.allPostingsQsig.count()
           idx.allTileFeatures.count()
           cached = Some((spark, idx))
           idx

@@ -191,6 +191,43 @@ object IndexBuilder {
     /** Union of all layers' autocomplete prefix tables. */
     lazy val allPrefixes: DataFrame =
       layers.map(_.prefixes).reduce(_ unionByName _)
+    /** All layers' postings tagged with their query signature, cached
+      * PRE-PARTITIONED on the phrasematch probe's join key (qsig, phrase).
+      * The probe join's required distribution is then already satisfied by
+      * the cached layout, so the per-call plan never re-shuffles the
+      * posting rows — the heavy packed-grid arrays cross an exchange ONCE
+      * at cache fill instead of once per forward() call (guide §8: move
+      * heavy bytes once; §2.4 remove shuffles outright). Partition count
+      * comes from spark.sql.shuffle.partitions (scale-adaptive conf, no
+      * constant).
+      */
+    lazy val allPostingsQsig: DataFrame =
+      layers.map { l =>
+        l.postings.withColumn("qsig", lit(l.config.querySignature))
+      }.reduce(_ unionByName _)
+        .repartition(col("qsig"), col("phrase"))
+        .cache()
+    /** Per-querySignature MERGED grouped candidate tables
+      * (deletesG, prefixesG, prefixDeletesG), built once per index and
+      * cached. Sibling layers sharing a query signature collapse into ONE
+      * row per join key (collect_set dedupes (vtext, phrase) across
+      * layers), so the phrasematch candidate joins hit one row per key and
+      * never re-deduplicate sibling-layer fan-out per query. Safe under
+      * layer pruning: a candidate phrase that only exists in a pruned
+      * layer cannot survive the postings inner join (postings are
+      * restricted to the allowed layers), so the full-index tables serve
+      * every pruned subset with identical results — which is what lets
+      * them be cached HERE, on the stable index, instead of per call.
+      */
+    lazy val candByQsig: Map[String, (DataFrame, DataFrame, DataFrame)] =
+      layers.groupBy(_.config.querySignature).map { case (qsig, ls) =>
+        def merged(f: LayerIndex => DataFrame, keys: Seq[String]) =
+          groupCands(ls.map(f).reduce(_ unionByName _), keys)
+            .withColumn("qsig", lit(qsig))
+        qsig -> ((merged(_.deletes, Seq("variant")),
+          merged(_.prefixes, Seq("pfx", "pfx_len")),
+          merged(_.prefixDeletes, Seq("variant"))))
+      }
   }
 
   private val coverUdf = udf((geojson: String, zoom: Int, lon: Double, lat: Double) => {

@@ -928,7 +928,7 @@ object Forward {
         }
         (z, tx(w), ty(n), tx(e), ty(s0))
     }
-    val matched = phrasematchJoins(searchIndex, subs, opts.autocomplete,
+    val matched = phrasematchJoins(index, searchIndex, subs, opts.autocomplete,
       opts.fuzzy)
     runForward(spark, index, searchIndex, matched, tileBbox, opts, stats)
   }
@@ -939,29 +939,44 @@ object Forward {
     * the reference's sorted phrase_id_range, docs/index-structure.md:10-12)
     * with a residual startsWith filter — no nested-loop scan.
     */
-  private def phrasematchJoins(searchIndex: CarmenIndex, subs: DataFrame,
+  private def phrasematchJoins(fullIndex: CarmenIndex, searchIndex: CarmenIndex,
+                               subs: DataFrame,
                                autocomplete: Boolean,
                                fuzzy: Boolean): DataFrame = {
-    val candAll = candidateBranches(searchIndex, subs, autocomplete, fuzzy)
-      .map(_._2).reduce(_ unionByName _)
-    val postings = searchIndex.layers.map { l =>
-      l.postings.withColumn("qsig", lit(l.config.querySignature))
-    }.reduce(_ unionByName _)
-    postings.join(candAll, Seq("qsig", "phrase")).drop("qsig")
+    val candAll = candidateBranches(fullIndex, searchIndex, subs, autocomplete,
+      fuzzy).map(_._2).reduce(_ unionByName _)
+    // Cached pre-partitioned postings (see CarmenIndex.allPostingsQsig):
+    // the probe's required (qsig, phrase) distribution is satisfied by the
+    // cache layout, so only the NARROW candidate side shuffles per call;
+    // the shuffle_hash hint builds the hash table from the candidates and
+    // streams the postings — no sort of either side (guide §3.1: hash
+    // join over sort-merge when one side is small per partition).
+    val postings =
+      if (searchIndex.layers.length == fullIndex.layers.length)
+        fullIndex.allPostingsQsig
+      else fullIndex.allPostingsQsig.where(col("layer")
+        .isInCollection(searchIndex.layers.map(_.config.name)))
+    postings.join(candAll.hint("shuffle_hash"), Seq("qsig", "phrase"))
+      .drop("qsig")
   }
 
   /** The labeled candidate branches of [[phrasematchJoins]] (exposed for
     * stage attribution probes).
     */
-  private[graft] def candidateBranches(searchIndex: CarmenIndex, subs: DataFrame,
+  private[graft] def candidateBranches(fullIndex: CarmenIndex,
+                                       searchIndex: CarmenIndex, subs: DataFrame,
                                        autocomplete: Boolean,
                                        fuzzy: Boolean): Vector[(String, DataFrame)] = {
     val spark = subs.sparkSession
     import spark.implicits._
-    def tagSig(dfOf: IndexBuilder.LayerIndex => DataFrame): DataFrame =
-      searchIndex.layers.map { l =>
-        dfOf(l).withColumn("qsig", lit(l.config.querySignature))
-      }.reduce(_ unionByName _)
+    // Per-qsig MERGED candidate tables, cached on the stable full index
+    // (one row per join key across sibling layers — the per-query
+    // sibling-layer dedupe shuffle never exists). Restricting to the
+    // allowed layers' qsigs keeps the probe minimal; phrases that only
+    // exist in pruned layers die in the postings inner join.
+    val qsigs = searchIndex.layers.map(_.config.querySignature).distinct
+    def byQsig(pick: ((DataFrame, DataFrame, DataFrame)) => DataFrame): DataFrame =
+      qsigs.map(q => pick(fullIndex.candByQsig(q))).reduce(_ unionByName _)
     // Exact, prefix and fuzzy matching produce one unified small CANDIDATE
     // table keyed (qsig, phrase) and the posting grids load with ONE probe
     // of the postings union — a third of the scan volume of three separate
@@ -985,25 +1000,26 @@ object Forward {
         val pfxSubs = subs.where(col("ender"))
           .withColumn("pfx", substring(col("subquery"), 1, maxPfx))
           .withColumn("pfx_len", least(length(col("subquery")), lit(maxPfx)))
-        // grouped prefix table: one row per (pfx, pfx_len) with the whole
-        // (vtext, phrase) candidate array; the startsWith residual runs as
-        // an array filter (codegen higher-order function) BEFORE the
-        // explode, so non-extending phrases never become rows
-        tagSig(_.prefixesG).join(pfxSubs, Seq("pfx", "pfx_len", "qsig"))
+        // merged grouped prefix table: ONE row per (pfx, pfx_len, qsig)
+        // across sibling layers; the startsWith residual runs as an array
+        // filter (codegen higher-order function) BEFORE the explode, so
+        // non-extending phrases never become rows, and array_distinct over
+        // the projected phrases collapses multi-vtext duplicates INSIDE
+        // the row — the former 530k-row per-query distinct() shuffle is
+        // gone entirely
+        byQsig(_._2).join(pfxSubs, Seq("pfx", "pfx_len", "qsig"))
           .select(col("qsig"), col("queryId"), col("subquery"), col("mask"),
             col("weight"), col("qlen"), col("addrPos"), col("addrNum"),
             col("partial"), col("numberOrder"),
-            explode(filter(col("cands"), c =>
+            explode(array_distinct(transform(filter(col("cands"), c =>
               when(col("wordBoundary"),
                 c.getField("vtext").startsWith(concat(col("subquery"), lit(" "))))
               .otherwise(c.getField("vtext").startsWith(col("subquery")) &&
-                c.getField("vtext") =!= col("subquery")))).as("c"))
-          .withColumn("phrase", col("c.phrase"))
+                c.getField("vtext") =!= col("subquery"))),
+              c => c.getField("phrase")))).as("phrase"))
           .withColumn("is_prefix", lit(true))
           .withColumn("is_fuzzy", lit(false))
           .select(candCols: _*)
-          // same-qsig sibling layers repeat (pfx, phrase) rows
-          .distinct()
       }
     // fuzzy branch (P6): symmetric-delete candidate join + DL<=1 verify +
     // levenshtein-ratio weight penalty (reference phrasematch.js:328-345)
@@ -1027,7 +1043,7 @@ object Forward {
         // the exploded-row distinct + per-row verify of the flat join is
         // gone. The edit is always exactly 1 here, so the weight penalty
         // depends only on the window's original subquery.
-        tagSig(_.deletesG).join(qVariants, Seq("variant", "qsig"))
+        byQsig(_._1).join(qVariants, Seq("variant", "qsig"))
           .select(col("qsig"),
             col("queryId"), col("subquery"), col("mask"),
             col("weight"), col("qlen"), col("addrPos"), col("addrNum"),
@@ -1044,8 +1060,10 @@ object Forward {
           .withColumn("is_prefix", lit(false))
           .withColumn("is_fuzzy", lit(true))
           .select(candCols: _*)
-          // one row per (window, phrase): several replacement variants /
-          // sibling layers may verify the same candidate
+          // one row per (window, phrase): several delete VARIANTS of the
+          // same window may verify the same candidate (sibling-layer
+          // duplication is gone — the merged per-qsig table has one row
+          // per variant key)
           .distinct()
       }
     // fuzzy-prefix branch (P6 tail): autocomplete ender windows whose typo
@@ -1074,7 +1092,7 @@ object Forward {
         // emitting only the distinct verified (phrase, edit, corrected)
         // tuples — the flat join's multi-million-row explode + distinct
         // (3.5M intermediate rows for 2k queries, measured) never exists
-        tagSig(_.prefixDeletesG).join(qVariants, Seq("variant", "qsig"))
+        byQsig(_._3).join(qVariants, Seq("variant", "qsig"))
           .select(col("qsig"),
             col("queryId"), col("subquery"), col("mask"), col("weight"),
             col("qlen"), col("addrPos"), col("addrNum"), col("numberOrder"),
@@ -1105,10 +1123,10 @@ object Forward {
       .localCheckpoint()
   private[graft] def phrasematchBranchesForProbe(index: CarmenIndex,
                                                  subs: DataFrame): Vector[(String, DataFrame)] =
-    candidateBranches(index, subs, autocomplete = true, fuzzy = true)
+    candidateBranches(index, index, subs, autocomplete = true, fuzzy = true)
   private[graft] def phrasematchJoinsForProbe(index: CarmenIndex,
                                               subs: DataFrame): DataFrame =
-    phrasematchJoins(index, subs, autocomplete = true, fuzzy = true)
+    phrasematchJoins(index, index, subs, autocomplete = true, fuzzy = true)
   private[graft] def pmRowsForProbe(index: CarmenIndex,
                                     matched: DataFrame): DataFrame = {
     val langTargetExpr = coalesce(
@@ -1138,7 +1156,7 @@ object Forward {
     val groups = queryGroups(index)
     val subs = subqueries(spark, queries, groups, opts.proximity.isDefined,
       opts.fuzzy)
-    phrasematchJoins(index, subs, opts.autocomplete, opts.fuzzy)
+    phrasematchJoins(index, index, subs, opts.autocomplete, opts.fuzzy)
       .select(col("queryId").as("query_id"), col("layer"), col("subquery"),
         col("mask"), col("weight"), col("is_prefix"), col("is_fuzzy"))
       .distinct()
