@@ -487,7 +487,8 @@ object IndexBuilder {
       // gridstore shape (S6, reference lib/indexer/index.js:139-197): the
       // stored posting row is ONE row per (phrase, lang_set) with its grids
       // pre-packed into two parallel long arrays — the same 2-long packing
-      // the forward path consumes (Forward.decodeGrid). Grouping here, at
+      // the spatialmatch kernels decode on demand (StackCoalesce's
+      // gX/gY/gRelev/... packed-field accessors). Grouping here, at
       // index build, means the per-query phrasematch join delivers ready
       // grid arrays: no per-query collect_list re-aggregation of hot
       // phrases' grid lists (the measured 55 MB/query allocation hot spot,

@@ -207,19 +207,19 @@ object Forward {
                         // may spend an edit on this window
                         fuzzyOk: Boolean = true)
 
-  /** Two-long packed grid (the pm_join aggregation hot spot measured in
-    * SCALING_r4.json: ~56B struct per grid -> 16B in primitive long
-    * arrays). A = x(14)<<42 | y(14)<<28 | score3(3)<<25 | id24(25);
-    * B = unsigned phraseHash(32)<<2 | relev2(2), relev 0.2-quantized at
-    * index time (Phrases.scala enumerate: jsRound(relev*5)/5, >=0.8).
-    * The packed form travels INTO the spatialmatch kernels (StackCoalesce
-    * decodes fields on demand) — zero per-grid allocation in the per-query
-    * hot loop; matchesLanguage folds into B bit 34 at flatten time.
-    */
-
   /** One (query window, phrase) match with its grid list — the per-query
     * spatialmatch input (the reference's phrasematch result shape:
     * phrases with grid ranges, not exploded grid rows).
+    *
+    * Grid layout: two-long packed grids (the pm_join aggregation hot spot
+    * measured in SCALING_r4.json: ~56B struct per grid -> 16B in primitive
+    * long arrays). A = x(14)<<42 | y(14)<<28 | score3(3)<<25 | id24(25);
+    * B = unsigned phraseHash(32)<<2 | relev2(2), relev 0.2-quantized at
+    * index time (Phrases.scala enumerate: jsRound(relev*5)/5, >=0.8).
+    * The packed form travels INTO the spatialmatch kernels (StackCoalesce
+    * gX/gY/gRelev/... accessors decode fields on demand) — zero per-grid
+    * allocation in the per-query hot loop; matchesLanguage folds into
+    * B bit 34 at flatten time.
     */
   final case class PmPhraseRow(queryId: Long, layer: String, subquery: String,
                                mask: Int, weight: Double, prefix: Boolean,

@@ -28,6 +28,13 @@ object StackCoalesce {
     * is the measured scaling ceiling on this host (BENCH.md), and
     * spatialmatch is the largest post-gridstore stage, so the packed form
     * is the kernel's remaining allocation lever.
+    *
+    * HAZARD: as a case class holding Array fields (gridsA/gridsB), the
+    * generated equals/hashCode compare those arrays BY REFERENCE. Every
+    * current use is identity-based (IdentityHashMap memo; mask/ndx reads
+    * in stackable), so this is safe today — but do NOT put Pm instances
+    * through .distinct/Set/groupBy or compare them with ==; two Pms with
+    * equal grid contents in distinct arrays will not be equal.
     */
   final case class Pm(
       layer: String,
