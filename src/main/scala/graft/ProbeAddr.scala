@@ -26,6 +26,7 @@ object ProbeAddr {
       d.count(); p.count(); pd.count()
     }
     index.allPostingsQsig.count()
+    index.allFeaturesWide.count()
     index.allTileFeatures.count()
     println(f"PROBE build_index ${(System.nanoTime() - t0) / 1e9}%.1fs")
 

@@ -28,6 +28,7 @@ object ProbeCtx {
       d.count(); p.count(); pd.count()
     }
     index.allPostingsQsig.count()
+    index.allFeaturesWide.count()
     index.allTileFeatures.count()
     println(s"PROBE grouped sizes deletesG=${index.candByQsig.values.map(_._1.count()).sum} " +
       s"prefixesG=${index.candByQsig.values.map(_._2.count()).sum} " +

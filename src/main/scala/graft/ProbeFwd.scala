@@ -25,6 +25,7 @@ object ProbeFwd {
       d.count(); p.count(); pd.count()
     }
     index.allPostingsQsig.count()
+    index.allFeaturesWide.count()
     index.allTileFeatures.count()
     println(f"PROBE build_index ${(System.nanoTime() - t0) / 1e9}%.1fs")
 

@@ -25,6 +25,7 @@ object ProbePm2 {
       d.count(); p.count(); pd.count()
     }
     index.allPostingsQsig.count()
+    index.allFeaturesWide.count()
     index.allTileFeatures.count()
 
     def time[A](tag: String)(f: => A): A = {

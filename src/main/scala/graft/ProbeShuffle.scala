@@ -31,6 +31,7 @@ object ProbeShuffle {
       d.count(); p.count(); pd.count()
     }
     index.allPostingsQsig.count()
+    index.allFeaturesWide.count()
     index.allTileFeatures.count()
 
     // Total bytes allocated across live JVM threads (HotSpot

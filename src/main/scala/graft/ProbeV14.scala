@@ -23,6 +23,7 @@ object ProbeV14 {
       d.count(); p.count(); pd.count()
     }
     index.allPostingsQsig.count()
+    index.allFeaturesWide.count()
     index.allTileFeatures.count()
     val qs = graft.index.BigGazetteer.forwardQueries(spark, n, nPlaces).cache()
     qs.count()

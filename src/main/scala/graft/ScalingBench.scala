@@ -101,6 +101,7 @@ object ScalingBench {
       d.count(); p.count(); pd.count()
     }
     index.allPostingsQsig.count()
+    index.allFeaturesWide.count()
     index.allTileFeatures.count()
     def geocode(n: Int, st: Option[graft.query.Forward.GeocodeStats]): Long = {
       val qs = graft.index.BigGazetteer.forwardQueries(spark, n, NPlaces)

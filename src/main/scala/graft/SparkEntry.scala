@@ -72,6 +72,7 @@ object SparkEntry {
             d.count(); p.count(); pd.count()
           }
           idx.allPostingsQsig.count()
+          idx.allFeaturesWide.count()
           idx.allTileFeatures.count()
           cached = Some((spark, idx))
           idx

@@ -207,6 +207,39 @@ object IndexBuilder {
       }.reduce(_ unionByName _)
         .repartition(col("qsig"), col("phrase"))
         .cache()
+    /** All layers' features in the verifymatch join projection, cached
+      * PRE-PARTITIONED on the lead-cover feature-load key (f_idx, f_id24).
+      * Same rationale as [[allPostingsQsig]]: the per-call join's
+      * required distribution is satisfied by the cache layout, so the
+      * WIDE feature rows (geometry, address arrays, language maps) never
+      * re-shuffle per forward() call — only the narrow lead-cover side
+      * does. Partition count from spark.sql.shuffle.partitions.
+      */
+    lazy val allFeaturesWide: DataFrame =
+      layers.map { l =>
+        l.features.select(lit(l.config.idx).as("f_idx"),
+          col("id24").as("f_id24"),
+          col("id").as("feature_id"), col("text").as("f_text"),
+          col("center_lon"), col("center_lat"),
+          col("geom_bin").as("f_geom_bin"),
+          col("score").as("f_score"),
+          col("langTexts").as("f_lang_texts"),
+          col("overrides").as("f_overrides"),
+          col("addressprops").as("f_addressprops"),
+          col("addressnumber").as("f_addrnum"),
+          col("rangetype").as("f_rangetype"),
+          col("lfromhn").as("f_lfromhn"), col("ltohn").as("f_ltohn"),
+          col("rfromhn").as("f_rfromhn"), col("rtohn").as("f_rtohn"),
+          col("parityl").as("f_parityl"), col("parityr").as("f_parityr"),
+          col("intersections").as("f_intersections"),
+          col("zxy").cast("array<string>").as("f_zxy"),
+          lit(l.config.geocoderAddress).as("f_is_address"),
+          col("types").as("f_types"),
+          col("reverseOnly").as("f_reverse_only"),
+          col("omitted").as("f_omitted"))
+      }.reduce(_ unionByName _)
+        .repartition(col("f_idx"), col("f_id24"))
+        .cache()
     /** Per-querySignature MERGED grouped candidate tables
       * (deletesG, prefixesG, prefixDeletesG), built once per index and
       * cached. Sibling layers sharing a query signature collapse into ONE

@@ -1489,27 +1489,9 @@ object Forward {
     // 4. verify + format (reference verifymatch.js): join lead covers to
     // features, resolve address numbers, reverse-context fill, per-query
     // strict/loose re-rank
-    val featuresAll = index.layers.map { l =>
-      l.features.select(lit(l.config.idx).as("f_idx"), col("id24").as("f_id24"),
-        col("id").as("feature_id"), col("text").as("f_text"),
-        col("center_lon"), col("center_lat"),
-        col("geom_bin").as("f_geom_bin"),
-        col("score").as("f_score"),
-        col("langTexts").as("f_lang_texts"),
-        col("overrides").as("f_overrides"),
-        col("addressprops").as("f_addressprops"),
-        col("addressnumber").as("f_addrnum"),
-        col("rangetype").as("f_rangetype"),
-        col("lfromhn").as("f_lfromhn"), col("ltohn").as("f_ltohn"),
-        col("rfromhn").as("f_rfromhn"), col("rtohn").as("f_rtohn"),
-        col("parityl").as("f_parityl"), col("parityr").as("f_parityr"),
-        col("intersections").as("f_intersections"),
-        col("zxy").cast("array<string>").as("f_zxy"),
-        lit(l.config.geocoderAddress).as("f_is_address"),
-        col("types").as("f_types"),
-        col("reverseOnly").as("f_reverse_only"),
-        col("omitted").as("f_omitted"))
-    }.reduce(_ unionByName _)
+    // Cached pre-partitioned on (f_idx, f_id24) — the wide feature rows
+    // never re-shuffle per call (see CarmenIndex.allFeaturesWide)
+    val featuresAll = index.allFeaturesWide
 
     val results = resultsCk
     val exploded = results.select(col("queryId").as("query_id"),
@@ -1519,12 +1501,16 @@ object Forward {
         col("pos"), col("cover.*"))
 
     // lead rows (kind 2): pos==0 cover joined to its feature on the
-    // (idx, id24) key — a plain equi-join so AQE broadcasts small layers
-    // and shuffles big ones (address/POI layers cannot broadcast at scale).
+    // (idx, id24) key. shuffle_hash on the NARROW lead side: it becomes
+    // the build side, the pre-partitioned feature cache streams with no
+    // exchange and no sort (broadcasting features would cap at corpus
+    // sizes far below scale; broadcasting the outer lead side of a left
+    // join is not plannable).
     // S4 cover check (feature.js:164): the feature's zxy covers must
     // include the cover tile — prunes id24 hash collisions up front.
     // rank 0 is the loose-sets row (no feature load); leads are rank >= 1
     val leadJoined0 = exploded.where(col("pos") === 0 && col("position") >= 1)
+      .hint("shuffle_hash")
       .join(featuresAll,
         exploded("idx") === featuresAll("f_idx") &&
           exploded("id24") === featuresAll("f_id24") &&
