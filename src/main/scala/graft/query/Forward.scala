@@ -948,15 +948,17 @@ object Forward {
     // Cached pre-partitioned postings (see CarmenIndex.allPostingsQsig):
     // the probe's required (qsig, phrase) distribution is satisfied by the
     // cache layout, so only the NARROW candidate side shuffles per call;
-    // the shuffle_hash hint builds the hash table from the candidates and
-    // streams the postings — no sort of either side (guide §3.1: hash
-    // join over sort-merge when one side is small per partition).
+    // the shuffle_hash hint sits on the POSTINGS side, so the hash map is
+    // built from the per-partition INDEX segment — bounded by index size /
+    // partition count, NOT by the query batch (a candidate-side build
+    // OOMs the 8 GiB 50k-query run: the build side must never be the side
+    // that scales with queries). No sort of either side (guide §3.1).
     val postings =
       if (searchIndex.layers.length == fullIndex.layers.length)
         fullIndex.allPostingsQsig
       else fullIndex.allPostingsQsig.where(col("layer")
         .isInCollection(searchIndex.layers.map(_.config.name)))
-    postings.join(candAll.hint("shuffle_hash"), Seq("qsig", "phrase"))
+    postings.hint("shuffle_hash").join(candAll, Seq("qsig", "phrase"))
       .drop("qsig")
   }
 
@@ -1501,17 +1503,18 @@ object Forward {
         col("pos"), col("cover.*"))
 
     // lead rows (kind 2): pos==0 cover joined to its feature on the
-    // (idx, id24) key. shuffle_hash on the NARROW lead side: it becomes
-    // the build side, the pre-partitioned feature cache streams with no
-    // exchange and no sort (broadcasting features would cap at corpus
-    // sizes far below scale; broadcasting the outer lead side of a left
-    // join is not plannable).
+    // (idx, id24) key. shuffle_hash on the FEATURES side: the hash map is
+    // built from the per-partition feature segment (bounded by index
+    // size / partition count) while the lead side — the side that scales
+    // with the query batch — streams; only the narrow lead rows cross an
+    // exchange per call, the pre-partitioned feature cache none.
+    // (Broadcasting features would cap at corpus sizes far below scale;
+    // a query-side build OOMs large batches.)
     // S4 cover check (feature.js:164): the feature's zxy covers must
     // include the cover tile — prunes id24 hash collisions up front.
     // rank 0 is the loose-sets row (no feature load); leads are rank >= 1
     val leadJoined0 = exploded.where(col("pos") === 0 && col("position") >= 1)
-      .hint("shuffle_hash")
-      .join(featuresAll,
+      .join(featuresAll.hint("shuffle_hash"),
         exploded("idx") === featuresAll("f_idx") &&
           exploded("id24") === featuresAll("f_id24") &&
           array_contains(featuresAll("f_zxy"),
